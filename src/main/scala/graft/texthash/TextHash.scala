@@ -1,0 +1,262 @@
+package graft.texthash
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.expressions.XXH64
+
+/**
+ * Pure text-hashing kernel: normalization, character shingling, MinHash
+ * signatures, LSH band keys and SimHash fingerprints.
+ *
+ * Deterministic by construction (no clock, no `Random`): every function is a
+ * pure function of its arguments + an explicit seed, so signatures are
+ * identical across partitionings and parallelism levels (north-rule
+ * determinism requirement).
+ *
+ * Semantics derive from the reference (dedupeio/dedupe):
+ *  - normalization mirrors `benchmarks/benchmarks/common.py:12-19`
+ *    (collapse runs of spaces, newline->space, strip, strip quotes, lower)
+ *  - char shingling mirrors `cpredicates.pyx:24-42` (`unique_ngrams`)
+ *  - MinHash/LSH replaces the TF-IDF canopy predicates
+ *    (`predicates.py:276-325`, `canopy_index.py`) with a stateless,
+ *    shuffle-friendly equivalent (see SURVEY.md §2.2).
+ *
+ * The hash primitive is xxHash64 — the exact implementation Spark's
+ * `functions.xxhash64` uses ([[XXH64]]) — so column-level and driver-level
+ * hashing agree bit-for-bit.
+ */
+object TextHash {
+
+  /** xxhash64 of a string's UTF-8 bytes. Matches Spark's `xxhash64(col)`
+    * for StringType when given the same seed. */
+  def hashString(s: String, seed: Long): Long = {
+    val u = UTF8String.fromString(s)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), seed)
+  }
+
+  def hashUtf8(u: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), seed)
+
+  /** SplitMix64 finalizer — public-domain PRNG step (Steele et al.),
+    * used to derive the per-hash-function MinHash coefficients. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Normalization mirroring the reference benchmark pre-process
+    * (`benchmarks/benchmarks/common.py:12-19`), in the exact same order:
+    * collapse 2+ spaces, newline->space, strip, strip '"', strip "'",
+    * lowercase. Byte-identical per input across runs (north-rule invariant).
+    * Returns null for empty results (the reference maps "" -> None). */
+  def normalizeText(raw: String): String = {
+    if (raw == null) return null
+    var s = collapseSpaces(raw)
+    s = s.replace('\n', ' ')
+    s = s.trim
+    s = stripChar(s, '"')
+    s = stripChar(s, '\'')
+    s = s.toLowerCase(java.util.Locale.ROOT)
+    if (s.isEmpty) null else s
+  }
+
+  /** re.sub("  +", " ", s): collapse runs of 2+ ASCII spaces only. */
+  private def collapseSpaces(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      sb.append(c)
+      if (c == ' ') { while (i + 1 < n && s.charAt(i + 1) == ' ') i += 1 }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Python str.strip(ch): remove leading+trailing occurrences of ch. */
+  private def stripChar(s: String, ch: Char): String = {
+    var a = 0; var b = s.length
+    while (a < b && s.charAt(a) == ch) a += 1
+    while (b > a && s.charAt(b - 1) == ch) b -= 1
+    s.substring(a, b)
+  }
+
+  /**
+   * Distinct character k-shingle hashes, sorted ascending.
+   * Semantics of `unique_ngrams(field, k)` (`cpredicates.pyx:24-42`) with the
+   * shingle string replaced by its xxhash64. Sorted-distinct so that exact
+   * Jaccard over two docs is a linear merge and the array is a canonical
+   * (partitioning-independent) value. Empty array when len(text) < k.
+   */
+  def shingleHashes(text: String, k: Int, seed: Long): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val n = text.length - k + 1
+    if (n <= 0) return Array.emptyLongArray
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val u = UTF8String.fromString(text)
+    // operate on the char level (matches Python slicing on str)
+    var i = 0
+    while (i < n) {
+      set.add(hashString(text.substring(i, i + k), seed))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    // silence unused warning for u (kept for potential byte-level variant)
+    val _ = u
+    out
+  }
+
+  /** Word tokens by the reference's `[\w']+` regex (`predicates.py:24`). */
+  def wordTokens(text: String): Array[String] =
+    if (text == null) Array.empty
+    else "[\\w']+".r.findAllIn(text).toArray
+
+  /** MinHash coefficient pairs (a_i odd, b_i) derived from the seed via
+    * SplitMix64 — deterministic, no java.util.Random. */
+  def minhashCoeffs(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var state = mix64(seed ^ 0x5DEECE66DL)
+    var i = 0
+    while (i < numHashes) {
+      state = mix64(state); a(i) = state | 1L // odd multiplier
+      state = mix64(state); b(i) = state
+      i += 1
+    }
+    (a, b)
+  }
+
+  /**
+   * MinHash signature over a doc's shingle-hash set: sig_i = min_h (a_i*h + b_i)
+   * (mod 2^64, signed min — consistent everywhere so the choice is immaterial).
+   * Returns null-signature (empty array) for empty shingle sets: such docs
+   * emit no band keys, mirroring a dedupe predicate that emits no block keys
+   * for an empty field (`predicates.py:90-95`).
+   */
+  def minhashSignature(shingles: Array[Long], numHashes: Int, seed: Long): Array[Long] = {
+    if (shingles == null || shingles.isEmpty) return Array.emptyLongArray
+    val (a, b) = coeffCache(numHashes, seed)
+    val sig = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      var m = Long.MaxValue
+      val ai = a(i); val bi = b(i)
+      var j = 0
+      while (j < shingles.length) {
+        val v = ai * shingles(j) + bi
+        if (v < m) m = v
+        j += 1
+      }
+      sig(i) = m
+      i += 1
+    }
+    sig
+  }
+
+  // coefficient cache: tiny, computed once per (numHashes, seed) per JVM
+  private val coeffs = new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+  private def coeffCache(numHashes: Int, seed: Long): (Array[Long], Array[Long]) =
+    coeffs.computeIfAbsent((numHashes, seed), { k: (Int, Long) => minhashCoeffs(k._1, k._2) })
+
+  /**
+   * LSH band keys: split the signature into `bands` bands of r = n/bands rows;
+   * key_j = mix-fold of (band index, rows). The band index is folded in so keys
+   * from different bands can never collide — the analogue of dedupe suffixing
+   * block keys with the predicate index (`blocking.py:109`).
+   * AND-construction within a band ≡ dedupe's CompoundPredicate conjunction
+   * (`predicates.py:346-376`).
+   */
+  def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
+    if (sig == null || sig.isEmpty) return Array.emptyLongArray
+    val r = sig.length / bands
+    val out = new Array[Long](bands)
+    var bnd = 0
+    while (bnd < bands) {
+      var acc = mix64(bnd + 0x1234567L)
+      var k = bnd * r
+      val end = k + r
+      while (k < end) { acc = mix64(acc ^ sig(k)); k += 1 }
+      out(bnd) = acc
+      bnd += 1
+    }
+    out
+  }
+
+  /**
+   * 64-bit SimHash over word tokens (secondary fingerprint per the north
+   * rule; plays the role of dedupe's Levenshtein ball index
+   * (`levenshtein.py:9-37`) as a cheap "almost identical" signal).
+   * Bit i of the result is 1 iff sum over tokens of ±1 (sign of bit i of the
+   * token hash) is positive. Deterministic; empty input -> 0L.
+   */
+  def simhash64(tokens: Array[String], seed: Long): Long = {
+    if (tokens == null || tokens.isEmpty) return 0L
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      val h = hashString(tokens(t), seed)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var res = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) res |= (1L << i); i += 1 }
+    res
+  }
+
+  /** SimHash of the normalized text's word tokens. */
+  def simhashText(text: String, seed: Long): Long =
+    simhash64(wordTokens(text), seed)
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  @inline def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Exact Jaccard of two sorted-distinct long arrays (linear merge). */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /**
+   * Fixed-width suffix keys for the suffix-array substring pass.
+   * Web-scale variant of dedupe's `suffixArray` predicate
+   * (`predicate_functions.py:142-147`, all suffixes of length >= 5):
+   * emitting every suffix is O(L^2) bytes per doc, so we emit the hash of the
+   * fixed-width window `text[i, i+w)` at every `every`-th suffix start —
+   * two docs sharing any w-char substring at aligned sample offsets collide.
+   * Distinct + sorted. Exact O(L^2) semantics live in [[Predicates.suffixArray]]
+   * for the small-scale oracle.
+   */
+  def suffixKeys(text: String, w: Int, every: Int, seed: Long): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val n = text.length - w + 1
+    if (n <= 0) return Array.emptyLongArray
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      set.add(hashString(text.substring(i, i + w), seed))
+      i += every
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+}
