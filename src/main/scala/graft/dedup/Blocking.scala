@@ -1,0 +1,185 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.expr.{functions => gf}
+import graft.texthash.TextHash
+
+/**
+ * Blocking stage: pages -> per-doc signatures -> exploded block keys ->
+ * hot-key cap -> candidate pairs (a < b, distinct).
+ *
+ * Reference shape: `Fingerprinter.__call__` emitting `(block_key, record_id)`
+ * (`blocking.py:58-115`) into a blocking map, then the self-join
+ * `SELECT DISTINCT a.record_id, b.record_id ... USING (block_key) WHERE
+ * a.record_id < b.record_id` (`api.py:282-294`). Here the predicate zoo is
+ * replaced by stateless LSH band keys + SimHash chunks + sampled suffix keys
+ * + a whole-text exact key (SURVEY.md §2.2), and the self-join is realized as
+ * a single `groupBy(block_key)` + within-bucket pair generation — one shuffle
+ * of the (key, id) tuples instead of a two-sided join, with bucket sizes
+ * bounded by the hot-key cap so no task can blow up.
+ *
+ * Scale notes (north-rule axis A):
+ *  - signature computation is per-partition whole-stage codegen (custom
+ *    Catalyst expressions, no UDF boundary);
+ *  - the hot-key cap is the canopy stop-word rule (`canopy_index.py:25`):
+ *    template boilerplate shingles produce mega-buckets; dropping keys with
+ *    df > max(1000, 5%·N) both controls skew and mirrors reference recall
+ *    semantics. Dropped-key counts are surfaced in [[Metrics]], no silent
+ *    truncation;
+ *  - keys from different sources (minhash band / simhash chunk / suffix /
+ *    exact) are tagged into disjoint keyspaces, mirroring dedupe's
+ *    `key + ":" + predicate_index` suffixing (`blocking.py:109`).
+ */
+object Blocking {
+
+  /** Per-source keyspace tags (folded into the 64-bit key via mix). */
+  private val TagMinhash = 0x11L
+  private val TagSimhash = 0x22L
+  private val TagSuffix = 0x33L
+  private val TagExact = 0x44L
+
+  /**
+   * Compute per-document signatures. Input must have columns
+   * (`idCol`: string, `textCol`: string, already normalized).
+   * Output: idCol, shingles (array<long>, sorted distinct), sig (array<long>),
+   * simhash (long).
+   */
+  def signatures(pages: DataFrame, cfg: DedupConfig, idCol: String = "url",
+                 textCol: String = "text"): DataFrame = {
+    val sh = gf.shingle_hashes(col(textCol), cfg.shingleK, cfg.seed)
+    pages
+      .select(
+        col(idCol),
+        col(textCol),
+        sh.as("shingles"))
+      .withColumn("sig", gf.minhash_sig(col("shingles"), cfg.numHashes, cfg.seed))
+      .withColumn("simhash",
+        if (cfg.useSimHash) gf.simhash64(col(textCol), cfg.seed) else lit(0L))
+  }
+
+  /** Explode all block keys for one signature row: minhash bands, simhash
+    * chunks, sampled suffix keys, whole-text exact key — each in its own
+    * keyspace. Returns (key: long, id: string). */
+  def blockKeys(sigs: DataFrame, cfg: DedupConfig, idCol: String = "url",
+                textCol: String = "text"): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+
+    val minhashKeys = sigs
+      .select(explode(gf.band_keys($"sig", cfg.bands)).as("k"), col(idCol))
+      .select(tagged($"k", TagMinhash).as("key"), col(idCol))
+
+    val parts = Seq(minhashKeys) ++
+      (if (cfg.useSimHash) {
+        val chunkBits = 64 / cfg.simhashBands
+        Seq((0 until cfg.simhashBands).map { c =>
+          // chunk c of the simhash, salted with the chunk index
+          val chunk = shiftRightUnsigned($"simhash", c * chunkBits)
+            .bitwiseAND(lit(if (chunkBits == 64) -1L else (1L << chunkBits) - 1))
+          sigs.select(tagged(xxhash64(chunk, lit(c)), TagSimhash).as("key"), col(idCol))
+        }.reduce(_ unionAll _))
+      } else Nil) ++
+      (if (cfg.useSuffix)
+        Seq(sigs.select(
+          explode(gf.suffix_keys(col(textCol), cfg.suffixWidth, cfg.suffixEvery, cfg.seed)).as("k"),
+          col(idCol))
+          .select(tagged($"k", TagSuffix).as("key"), col(idCol)))
+      else Nil) ++
+      (if (cfg.useExact)
+        Seq(sigs.select(tagged(xxhash64(col(textCol)), TagExact).as("key"), col(idCol)))
+      else Nil)
+
+    parts.reduce(_ unionAll _)
+  }
+
+  /** Fold a source tag into a key so keyspaces never collide. */
+  private def tagged(k: org.apache.spark.sql.Column, tag: Long): org.apache.spark.sql.Column =
+    xxhash64(k, lit(tag))
+
+  final case class BlockingResult(pairs: DataFrame, hotKeysDropped: Long, totalKeys: Long)
+
+  /** Effective hot-key cap: the canopy stop-word rule max(1000, 5%·N)
+    * (`canopy_index.py:25`) bounded by an absolute ceiling so a bucket's
+    * within-task pair generation (O(cap²)) stays bounded at any N. */
+  def hotKeyCap(nDocs: Long, cfg: DedupConfig, absCap: Long = 2000L): Long =
+    math.min(absCap, math.max(cfg.hotKeyMin, (cfg.hotKeyFrac * nDocs).toLong))
+
+  /**
+   * Candidate pair generation with hot-key capping.
+   * Output: (a: string, b: string) with a < b, each unordered pair exactly
+   * once across all blocks (invariant `api.py:224-227`).
+   *
+   * Hot keys are identified from a counts aggregation (map-side partial agg,
+   * tiny result) and dropped via a broadcast anti-join BEFORE any member
+   * collection — a mega-bucket never materializes anywhere.
+   */
+  def candidatePairs(keys: DataFrame, nDocs: Long, cfg: DedupConfig,
+                     idCol: String = "url"): BlockingResult = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+
+    val cap = hotKeyCap(nDocs, cfg)
+
+    // dedupe re-emitted (key, id) duplicates up front (the reference's unique
+    // (record_id, block_key) index, api.py:273-276), then count per key
+    val distinctKeys = keys.distinct()
+    val counts = distinctKeys.groupBy($"key").agg(count(lit(1)).as("df"))
+    val hot = counts.filter($"df" > cap).select($"key")
+    val hotCount = hot.count()
+    val totalKeys = counts.count()
+
+    val kept = distinctKeys.join(broadcast(hot), Seq("key"), "left_anti")
+
+    // within-bucket pair generation; bucket size bounded by `cap`
+    val pairs = kept
+      .groupBy($"key")
+      .agg(collect_list(col(idCol)).as("members"))
+      .filter(size($"members") >= 2)
+      .select($"members")
+      .as[Seq[String]]
+      .flatMap { members =>
+        val sorted = members.sorted
+        for {
+          i <- sorted.indices.iterator
+          j <- (i + 1) until sorted.length
+        } yield (sorted(i), sorted(j))
+      }
+      .toDF("a", "b")
+      .distinct()
+
+    BlockingResult(pairs, hotCount, totalKeys)
+  }
+
+  /** Full blocking stage: pages -> candidate pairs + signature table. */
+  def run(pages: DataFrame, cfg: DedupConfig, idCol: String = "url",
+          textCol: String = "text"): (DataFrame, BlockingResult) = {
+    val sigs = signatures(pages, cfg, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = sigs.count()
+    val keys = blockKeys(sigs, cfg, idCol, textCol)
+    val result = candidatePairs(keys, nDocs, cfg, idCol)
+    (sigs, result)
+  }
+
+  /** Verified SimHash near-duplicate pairs (secondary fingerprint pass as a
+    * standalone operator): pairs sharing a simhash chunk with hamming
+    * distance <= maxHamming. */
+  def simhashPairs(sigs: DataFrame, cfg: DedupConfig, idCol: String = "url"): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val chunkBits = 64 / cfg.simhashBands
+    val chunks = (0 until cfg.simhashBands).map { c =>
+      val chunk = shiftRightUnsigned($"simhash", c * chunkBits)
+        .bitwiseAND(lit((1L << chunkBits) - 1))
+      sigs.select(xxhash64(chunk, lit(c)).as("key"), col(idCol), $"simhash")
+    }.reduce(_ unionAll _)
+    chunks.as("x").join(chunks.as("y"), $"x.key" === $"y.key" && $"x.${idCol}" < $"y.${idCol}")
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        gf.hamming64($"x.simhash", $"y.simhash").as("hamming"))
+      .filter($"hamming" <= cfg.simhashMaxHamming)
+      .distinct()
+  }
+}

@@ -1,0 +1,131 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Distributed connected components over a scored edge list — the cluster-
+ * native replacement for the reference's in-memory union-find
+ * (`clustering.py:97-170`), plus the oversized-component score refilter
+ * (`clustering.py:60-94`) reproduced exactly.
+ *
+ * Algorithm: iterative min-label propagation with pointer jumping.
+ * Each round:
+ *   1. label(v) <- min(label(v), min over neighbors u of label(u))
+ *      — a groupBy-min (map-side combinable, so high-degree nodes cost one
+ *      partial aggregate per partition, the "large-component salting"
+ *      equivalent: the shuffle only carries one candidate min per
+ *      (partition, node));
+ *   2. pointer jumping: label(v) <- label(label(v)) — doubles compression,
+ *      giving O(log diameter) convergence overall;
+ *   3. localCheckpoint to truncate lineage (each round is also a resumable
+ *      checkpoint boundary in [[Pipeline]]).
+ * Convergence = zero labels changed (exact count, not a heuristic).
+ *
+ * Labels are the lexicographically smallest member id, which makes component
+ * ids deterministic under any parallelism (north-rule determinism).
+ */
+object ConnectedComponents {
+
+  /** @param edges (a, b) string ids; returns (id, comp) for every endpoint. */
+  def run(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // symmetrized adjacency, deduped
+    val sym = edges.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(edges.select($"b".as("src"), $"a".as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var assign = sym.select($"src".as("id")).distinct()
+      .withColumn("comp", $"id")
+      .localCheckpoint(true)
+
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIterations) {
+      // neighbor minimum (partial agg combines map-side)
+      val nbrMin = sym
+        .join(assign.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy($"src")
+        .agg(min($"comp").as("nmin"))
+        .withColumnRenamed("src", "id")
+
+      val stepped = assign
+        .join(nbrMin, Seq("id"), "left")
+        .select($"id", least($"comp", coalesce($"nmin", $"comp")).as("comp"))
+
+      // pointer jumping: comp <- comp(comp)
+      val jumpTargets = stepped.select($"id".as("jid"), $"comp".as("jcomp"))
+      val next = stepped
+        .join(jumpTargets, stepped("comp") === jumpTargets("jid"), "left")
+        .select(stepped("id"), coalesce($"jcomp", stepped("comp")).as("comp"))
+        .localCheckpoint(true)
+
+      changed = next.as("n")
+        .join(assign.as("o"), $"n.id" === $"o.id")
+        .filter($"n.comp" =!= $"o.comp")
+        .count()
+      assign = next
+      iter += 1
+    }
+    sym.unpersist()
+    assign
+  }
+
+  /**
+   * `_connected_components` semantics (`clustering.py:51-94`): components
+   * with more than `maxComponents` distinct nodes are re-thresholded at
+   * sigmoid(logit(min_score) + 1), dropping at least their 2 lowest-score
+   * edges, then re-split — repeated until every component fits.
+   *
+   * @param scored (a, b, score)
+   * @return (a, b, score, comp)
+   */
+  def withRefilter(scored: DataFrame, maxComponents: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+
+    var done: Option[DataFrame] = None
+    var pending = scored.localCheckpoint(true)
+    var rounds = 0
+    while (pending != null && rounds < 20) {
+      val assign = run(pending)
+      val labeled = pending
+        .join(assign.withColumnRenamed("id", "a").withColumnRenamed("comp", "comp"), Seq("a"))
+
+      val nodeCounts = assign.groupBy($"comp").agg(count(lit(1)).as("n_nodes"))
+      val oversized = nodeCounts.filter($"n_nodes" > maxComponents).select($"comp")
+
+      val fits = labeled.join(broadcast(oversized), Seq("comp"), "left_anti")
+      done = Some(done.map(_.unionAll(fits)).getOrElse(fits)).map(_.localCheckpoint(true))
+
+      val over = labeled.join(broadcast(oversized), Seq("comp"), "left_semi")
+      if (over.isEmpty) {
+        pending = null
+      } else {
+        // per oversized component: threshold = sigmoid(logit(min_score)+1);
+        // drop edges below it, but at least the 2 lowest (clustering.py:87-88)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"comp").orderBy($"score".asc, $"a".asc, $"b".asc)
+        val withStats = over
+          .withColumn("rn", row_number().over(w))
+          .withColumn("min_score",
+            min($"score").over(org.apache.spark.sql.expressions.Window.partitionBy($"comp")))
+          .withColumn("thr",
+            lit(1.0) / (lit(1.0) + exp(-(log($"min_score") - log(lit(1.0) - $"min_score")) - lit(1.0))))
+          .withColumn("below", count(when($"score" < $"thr", 1))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy($"comp")))
+        pending = withStats
+          .filter($"rn" > greatest($"below", lit(2L)))
+          .select($"a", $"b", $"score")
+          .localCheckpoint(true)
+        if (pending.isEmpty) pending = null
+      }
+      rounds += 1
+    }
+    done.get
+  }
+}

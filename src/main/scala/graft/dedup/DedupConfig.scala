@@ -1,0 +1,52 @@
+package graft.dedup
+
+/**
+ * Fixed pipeline configuration — the analogue of dedupe's learned predicate
+ * set + classifier persisted in the settings file (`api.py:1218-1233`,
+ * `datamodel.py:27` version field). At web scale the config is static
+ * (SURVEY.md §2.7): blocking is MinHash/LSH + SimHash + suffix keys, the
+ * score is exact Jaccard over char-shingle sets.
+ *
+ * LSH S-curve: P(candidate | jaccard=s) = 1 - (1 - s^rows)^bands with
+ * rows = numHashes / bands. Defaults (128 hashes, 32 bands, r=4) put the
+ * S-curve midpoint at (1/32)^(1/4) ~= 0.42, i.e. >=98.8% detection at s=0.6.
+ */
+final case class DedupConfig(
+    version: Int = 1,
+    shingleK: Int = 5,
+    numHashes: Int = 128,
+    bands: Int = 32,
+    seed: Long = 42L,
+    threshold: Double = 0.5,
+    /** Hot band-key cap: keys with document frequency > max(hotKeyMin,
+      * hotKeyFrac * N) are dropped — the canopy stop-word rule
+      * (`canopy_index.py:25`), the single most important skew control. */
+    hotKeyMin: Long = 1000L,
+    hotKeyFrac: Double = 0.05,
+    /** Component-size cap before score refiltering (`clustering.py:214`). */
+    maxComponents: Int = 30000,
+    /** SimHash secondary fingerprint: 64 bits split into `simhashBands`
+      * chunks; docs sharing a chunk AND within `simhashMaxHamming` become
+      * candidates (pigeonhole: catches all pairs with < simhashBands
+      * differing chunks). */
+    useSimHash: Boolean = true,
+    simhashBands: Int = 4,
+    simhashMaxHamming: Int = 3,
+    /** Suffix-array substring pass: fixed-width sampled suffix keys. */
+    useSuffix: Boolean = true,
+    suffixWidth: Int = 40,
+    suffixEvery: Int = 20,
+    /** Whole-text exact-duplicate pass (also catches docs shorter than
+      * shingleK, which emit no shingles). */
+    useExact: Boolean = true) {
+  require(numHashes % bands == 0, "numHashes must be divisible by bands")
+  require(64 % simhashBands == 0, "simhashBands must divide 64")
+  def rows: Int = numHashes / bands
+
+  def toJson: String =
+    s"""{"version":$version,"shingleK":$shingleK,"numHashes":$numHashes,"bands":$bands,""" +
+      s""""seed":$seed,"threshold":$threshold,"hotKeyMin":$hotKeyMin,"hotKeyFrac":$hotKeyFrac,""" +
+      s""""maxComponents":$maxComponents,"useSimHash":$useSimHash,"simhashBands":$simhashBands,""" +
+      s""""simhashMaxHamming":$simhashMaxHamming,"useSuffix":$useSuffix,"suffixWidth":$suffixWidth,""" +
+      s""""suffixEvery":$suffixEvery,"useExact":$useExact}"""
+}

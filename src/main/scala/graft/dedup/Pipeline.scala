@@ -1,0 +1,115 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.TableIO
+
+/**
+ * End-to-end near-duplicate detection pipeline — the distributed
+ * `Dedupe.partition(data, threshold)` (`api.py:151-195`, SURVEY.md §3.1):
+ *
+ *   pages → normalize → signatures (select, whole-stage codegen)
+ *         → block keys (explode) → hot-key cap → candidate pairs (a<b, distinct)
+ *         → scored pairs (Jaccard select, score>0)
+ *         → connected components (iterative min-label + pointer jumping,
+ *           oversized-component refilter)
+ *         → per-component centroid-linkage clusters + confidences
+ *         → singleton completion (left-anti + union)
+ *
+ * Every stage boundary is a [[TableIO]] checkpoint: a rerun with the same
+ * `workDir` resumes after the last completed stage (north rule:
+ * resumable-from-checkpoint). Per-stage row counts + per-partition metrics
+ * land in `workDir/metrics` (north rule: lineage + metrics tables).
+ */
+object Pipeline {
+
+  final case class StageMetrics(stage: String, rows: Long, partitions: Int, hotKeysDropped: Long = -1L)
+
+  /**
+   * Run (or resume) the full pipeline.
+   * @param pages input with (url: string, text: string) — raw text; the
+   *              pipeline applies reference-parity normalization itself
+   * @param workDir checkpoint root (absent → computed fresh end to end)
+   */
+  def run(spark: SparkSession, pages: DataFrame, cfg: DedupConfig,
+          workDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[StageMetrics]
+
+    def stage(name: String)(df: => DataFrame): DataFrame = {
+      val out = workDir match {
+        case Some(dir) => TableIO.checkpoint(spark, s"$dir/$name")(df)
+        case None => df
+      }
+      out
+    }
+
+    def record(name: String, df: DataFrame, hot: Long = -1L): Unit =
+      if (workDir.isDefined)
+        metrics += StageMetrics(name, df.count(), df.rdd.getNumPartitions, hot)
+
+    // 1. normalize (byte-identical text per url — north-rule invariant).
+    // Null-text pages are KEPT here: like a reference record whose field is
+    // None they emit no block keys (predicates.py:90-95) but still surface as
+    // singleton clusters (api.py:209-218).
+    val normalized = stage("normalized") {
+      pages.select($"url",
+        graft.expr.functions.normalize_text($"text").as("text"))
+    }
+
+    // 2. signatures (persisted: feeds block keys, doc count and scoring)
+    val sigs = stage("signatures") {
+      Blocking.signatures(normalized.filter($"text".isNotNull), cfg)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    record("signatures", sigs)
+
+    // 3. candidate pairs
+    var hotDropped = -1L
+    val pairs = stage("pairs") {
+      val nDocs = sigs.count()
+      val keys = Blocking.blockKeys(sigs, cfg)
+      val res = Blocking.candidatePairs(keys, nDocs, cfg)
+      hotDropped = res.hotKeysDropped
+      res.pairs
+    }
+    record("pairs", pairs, hotDropped)
+
+    // 4. scored pairs
+    val scored = stage("scored") {
+      Scoring.scorePairs(pairs, sigs)
+    }
+    record("scored", scored)
+
+    // 5. connected components (+ oversized refilter)
+    val labeled = stage("components") {
+      ConnectedComponents.withRefilter(scored, cfg.maxComponents)
+    }
+    record("components", labeled)
+
+    // 6. hierarchical clusters + singletons
+    val clusters = stage("clusters") {
+      val clustered = ClusterStage.clusterComponents(labeled, cfg.threshold)
+      ClusterStage.addSingletons(normalized, clustered)
+    }
+    record("clusters", clusters)
+
+    // metrics + lineage tables
+    workDir.foreach { dir =>
+      TableIO.write(metrics.toSeq.toDF(), s"$dir/metrics")
+      // per-partition lineage of the output (north rule)
+      TableIO.write(
+        clusters.groupBy(spark_partition_id().as("partition"))
+          .agg(count(lit(1)).as("rows")),
+        s"$dir/lineage_clusters")
+      // config snapshot for reproducibility (settings-file analogue,
+      // api.py:1218-1233)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, "config.json"), true)
+      out.write(cfg.toJson.getBytes("UTF-8")); out.close()
+    }
+
+    clusters
+  }
+}

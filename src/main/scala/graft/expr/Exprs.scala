@@ -1,0 +1,148 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.types._
+
+/**
+ * Custom Catalyst expressions for the dedup hot path (north rule: "batched
+ * MinHash signatures computed per-partition via Catalyst expressions").
+ *
+ * Every expression implements `doGenCode` as a direct static call into
+ * [[Kernels]], so the whole signature stage stays inside a single
+ * WholeStageCodegen span — no UDF serialization, no CodegenFallback
+ * (SURVEY.md §7.3). These replace the reference's per-record predicate loop
+ * (`blocking.py:58-115`) and its Cython shingler (`cpredicates.pyx`).
+ */
+object Exprs {
+
+  private val K = "graft.expr.Kernels"
+  private val longArray = ArrayType(LongType, containsNull = false)
+
+  /** Reference-parity text normalization (`benchmarks/common.py:12-19`). */
+  case class NormalizeText(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(s: Any): Any =
+      Kernels.normalizeText(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    // result can be null for empty/whitespace-only input even when child isn't
+    override def nullable: Boolean = true
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val code = nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = $K.normalizeText($c);
+        ${ev.isNull} = ${ev.value} == null;""")
+      code
+    }
+    override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+      copy(child = newChild)
+  }
+
+  /** Sorted-distinct xxhash64 char-k-shingles (`cpredicates.pyx:24-42` semantics). */
+  case class CharShingleHashes(child: Expression, k: Int, seed: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = longArray
+    override def nullSafeEval(s: Any): Any =
+      Kernels.shingleHashes(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, seed)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $K.shingleHashes($c, $k, ${seed}L);")
+    override protected def withNewChildInternal(newChild: Expression): CharShingleHashes =
+      copy(child = newChild)
+  }
+
+  /** MinHash signature over shingle hashes; empty input -> empty signature. */
+  case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = longArray
+    override def nullSafeEval(a: Any): Any =
+      Kernels.minhashSignature(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes, seed)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $K.minhashSignature($c, $numHashes, ${seed}L);")
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  /** LSH band keys from a signature (band index folded into each key). */
+  case class BandKeys(child: Expression, bands: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = longArray
+    override def nullSafeEval(a: Any): Any =
+      Kernels.bandKeys(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bands)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $K.bandKeys($c, $bands);")
+    override protected def withNewChildInternal(newChild: Expression): BandKeys =
+      copy(child = newChild)
+  }
+
+  /** 64-bit SimHash of the text's word tokens (secondary fingerprint). */
+  case class SimHash64(child: Expression, seed: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(s: Any): Any =
+      Kernels.simhash64(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], seed)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $K.simhash64($c, ${seed}L);")
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  /** Exact Jaccard of two sorted-distinct long arrays (linear merge). */
+  case class JaccardSorted(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.jaccardSorted(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $K.jaccardSorted($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+      copy(left = l, right = r)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  case class Hamming64(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.hamming64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $K.hamming64($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Hamming64 =
+      copy(left = l, right = r)
+  }
+
+  /** Sampled fixed-width suffix keys — the scale-safe `suffixArray`
+    * (`predicate_functions.py:142-147`) variant, SURVEY.md §7.5(4). */
+  case class SuffixKeys(child: Expression, width: Int, every: Int, seed: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = longArray
+    override def nullSafeEval(s: Any): Any =
+      Kernels.suffixKeys(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], width, every, seed)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $K.suffixKeys($c, $width, $every, ${seed}L);")
+    override protected def withNewChildInternal(newChild: Expression): SuffixKeys =
+      copy(child = newChild)
+  }
+}
+
+/** Public column-function surface (the Spark-idiomatic analogue of dedupe's
+  * predicate/fingerprinter API). */
+object functions {
+  import Exprs._
+  private def col(e: Expression): Column = GraftShim.column(e)
+  private def ex(c: Column): Expression = GraftShim.expression(c)
+
+  def normalize_text(c: Column): Column = col(NormalizeText(ex(c)))
+  def shingle_hashes(c: Column, k: Int, seed: Long = 42L): Column =
+    col(CharShingleHashes(ex(c), k, seed))
+  def minhash_sig(c: Column, numHashes: Int, seed: Long = 42L): Column =
+    col(MinHashSig(ex(c), numHashes, seed))
+  def band_keys(c: Column, bands: Int): Column = col(BandKeys(ex(c), bands))
+  def simhash64(c: Column, seed: Long = 42L): Column = col(SimHash64(ex(c), seed))
+  def jaccard_sorted(a: Column, b: Column): Column = col(JaccardSorted(ex(a), ex(b)))
+  def hamming64(a: Column, b: Column): Column = col(Hamming64(ex(a), ex(b)))
+  def suffix_keys(c: Column, width: Int, every: Int, seed: Long = 42L): Column =
+    col(SuffixKeys(ex(c), width, every, seed))
+}

@@ -1,0 +1,301 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver-facing query catalog: every implemented operator from SURVEY.md §2
+ * as a (SparkSession, sfDir) => DataFrame, with a DuckDB-equivalent oracle in
+ * [[OracleSql]]. Column names are aligned between both sides (the driver
+ * sorts columns by name before hashing).
+ *
+ * Portability rules used throughout (Spark semantics == DuckDB semantics):
+ *  - tokens via regexp `[a-z0-9']+` group 0 (identical in Java regex / RE2)
+ *  - portable 60-bit hash: first 15 hex chars of md5 -> BIGINT
+ *  - float outputs avoided: integer counts, fixed-point quantization
+ *    (floor(x*1e5)), or DECIMAL
+ */
+object Queries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Portable 60-bit hash of a string column (md5 hex prefix -> bigint). */
+  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Word tokens `[a-z0-9']+` of a string column. */
+  def toks(c: Column): Column = regexp_extract_all(c, lit("[a-z0-9']+"), lit(0))
+
+  // ---------------------------------------------------------------- scans
+
+  /** Plain projection scan with pushed filter (§2.1 in-memory dict scan). */
+  def scanDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      .filter(col("n_chars") > 100)
+
+  // ----------------------------------------------- simple string predicates
+
+  def predFirstToken(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      regexp_extract(col("text"), "^([a-z0-9']+)", 1).as("key"))
+      .filter(col("key") =!= "")
+
+  def predFirstTwoTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      regexp_extract(col("text"), "^([a-z0-9']+[^a-z0-9']+[a-z0-9']+)", 1).as("key"))
+      .filter(col("key") =!= "")
+
+  def predTokenField(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("key"))
+
+  def predCommonInteger(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      explode(array_distinct(transform(
+        regexp_extract_all(col("source"), lit("[0-9]+"), lit(0)),
+        x => x.cast("long").cast("string")))).as("key"))
+
+  def predAlphaNumeric(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      explode(array_distinct(regexp_extract_all(col("source"),
+        lit("[a-z]*[0-9][a-z0-9]*"), lit(0)))).as("key"))
+
+  def predNearIntegers(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(regexp_extract_all(col("source"), lit("[0-9]+"), lit(0)))).as("i"))
+      .select(col("doc_id"),
+        explode(array(col("i").cast("long") - 1, col("i").cast("long"),
+          col("i").cast("long") + 1)).as("key"))
+      .distinct()
+
+  def predHundredInteger(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(regexp_extract_all(col("source"), lit("[0-9]+"), lit(0)))).as("i"))
+      .select(col("doc_id"),
+        when(col("i").cast("long") < 100, lit("00"))
+          .otherwise(concat((col("i").cast("long") / 100).cast("long").cast("string"), lit("00")))
+          .as("key"))
+      .distinct()
+
+  def predFirstInteger(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      regexp_extract(concat(col("n_chars").cast("string"), lit(" "), col("source")),
+        "^([0-9]+)", 1).as("key"))
+      .filter(col("key") =!= "")
+
+  def predFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      concat_ws("", array_sort(split(col("text"), " "))).as("key"))
+
+  def predOneGramFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      concat_ws("", array_sort(array_distinct(
+        regexp_extract_all(translate(col("text"), " ", ""), lit("."), lit(0))))).as("key"))
+
+  /** Char n-grams of the despaced text: transform over a sequence of starts. */
+  private def charNgrams(c: Column, n: Int): Column = {
+    val despaced = translate(c, " ", "")
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(despaced) - (n - 1), lit(0))),
+      i => substring(despaced, lit(1), lit(0)) // placeholder, replaced below
+    ))
+  }
+
+  def predCommonFourGram(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      explode(array_distinct(expr(
+        "transform(sequence(1, greatest(length(translate(text,' ','')) - 3, 0)), i -> substring(translate(text,' ',''), i, 4))"
+      ))).as("key"))
+
+  def predCommonSixGram(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      explode(array_distinct(expr(
+        "transform(sequence(1, greatest(length(translate(text,' ','')) - 5, 0)), i -> substring(translate(text,' ',''), i, 6))"
+      ))).as("key"))
+
+  def predTwoGramFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      concat_ws("", array_sort(array_distinct(expr(
+        "transform(sequence(1, greatest(length(translate(text,' ','')) - 1, 0)), i -> substring(translate(text,' ',''), i, 2))"
+      )))).as("key"))
+
+  def predSameThreeCharStart(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      substring(translate(col("text"), " ", ""), 1, 3).as("key"))
+
+  def predSameSevenCharStart(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      substring(translate(col("text"), " ", ""), 1, 7).as("key"))
+
+  /** suffixArray semantics (all suffixes len>=5) applied to the first 24
+    * chars — bounded O(L) keys per doc for the SQL-checkable variant. */
+  def predSuffixArray(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("t"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, greatest(length(t) - 4, 0)), i -> substring(t, i, length(t) - i + 1))"
+        ))).as("key"))
+
+  def predSortedAcronym(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      concat_ws("", array_sort(transform(split(col("text"), " "),
+        t => substring(t, 1, 1)))).as("key"))
+
+  // ------------------------------------------------------------ set preds
+
+  def predCommonTwoTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, greatest(size(t) - 1, 0)), i -> concat(t[i-1], ' ', t[i]))"
+        ))).as("key"))
+
+  def predCommonTwoElements(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), array_sort(array_distinct(toks(col("text")))).as("t"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, greatest(size(t) - 1, 0)), i -> concat(t[i-1], ' ', t[i]))"
+        ))).as("key"))
+
+  def predFirstLastSetElement(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      array_min(toks(col("text"))).as("first_el"),
+      array_max(toks(col("text"))).as("last_el"))
+
+  def predMagnitudeOfCardinality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      round(log10(size(array_distinct(toks(col("text")))).cast("double")))
+        .cast("long").cast("string").as("key"))
+
+  def predExists(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      when(col("text").isNotNull && length(col("text")) > 0, "1").otherwise("0").as("key"))
+
+  // ----------------------------------------------------- numeric/geo preds
+
+  def predOrderOfMagnitude(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders").select(col("o_orderkey"),
+      when(col("o_totalprice") > 0,
+        round(log10(col("o_totalprice"))).cast("long")).as("key"))
+
+  def predLatLongGrid(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").select(col("event_id"),
+      (floor(pmod(col("value"), lit(180.0)) * 10) / 10 - 90.0).cast("decimal(10,1)").as("lat_g"),
+      (floor(pmod(col("value") * 2, lit(360.0)) * 10) / 10 - 180.0).cast("decimal(10,1)").as("lon_g"))
+
+  // --------------------------------------------------- pair generation
+
+  /** Dedupe self-join on a block key (first two tokens), each unordered pair
+    * once, a < b (api.py:282-294). */
+  def pairsSelfJoin(s: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(s, dir).select(col("doc_id"),
+      regexp_extract(col("text"), "^([a-z0-9']+[^a-z0-9']+[a-z0-9']+)", 1).as("key"))
+      .filter(col("key") =!= "")
+    keyed.as("a").join(keyed.as("b"),
+      col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** RecordLink two-table join (api.py:448-459): even docs vs odd docs on
+    * first-token key. */
+  def pairsRecordLink(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      regexp_extract(col("text"), "^([a-z0-9']+)", 1).as("key"))
+    val left = d.filter(col("doc_id") % 2 === 0)
+    val right = d.filter(col("doc_id") % 2 === 1)
+    left.as("a").join(right.as("b"), col("a.key") === col("b.key"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  // --------------------------------------------------------- scoring
+
+  /** Exact token-set Jaccard for blocked pairs, as exact integer counts
+    * (datamodel.py:106-124 featurizer -> CosineSet analogue). */
+  def scoreJaccardTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      array_distinct(toks(col("text"))).as("t"),
+      regexp_extract(col("text"), "^([a-z0-9']+[^a-z0-9']+[a-z0-9']+)", 1).as("key"))
+      .filter(col("key") =!= "")
+    d.as("a").join(d.as("b"),
+      col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        size(array_intersect(col("a.t"), col("b.t"))).cast("long").as("inter_cnt"),
+        size(array_union(col("a.t"), col("b.t"))).cast("long").as("union_cnt"))
+      .distinct()
+  }
+
+  // ------------------------------------------------------- clustering ops
+
+  /** Distributed connected components vs a recursive-CTE oracle: edges are
+    * (doc_id, 2*doc_id) forests (clustering.py:97-170 semantics). */
+  def clusterConnectedComponents(s: SparkSession, dir: String): DataFrame = {
+    val ids = docs(s, dir).select(col("doc_id"))
+    val maxId = ids.agg(max("doc_id")).head().getLong(0)
+    val edges = ids.filter(col("doc_id") > 0 && col("doc_id") * 2 <= maxId)
+      .select(col("doc_id").cast("string").as("a"),
+        (col("doc_id") * 2).cast("string").as("b"))
+    graft.dedup.ConnectedComponents.run(edges)
+      .select(col("id").cast("long").as("node"), col("comp").cast("long").as("comp"))
+  }
+
+  /** Gazetteer top-n matching (clustering.py:299-311): top 2 by score per
+    * left id, score = shared-token count (integer). */
+  def clusterGazetteTopN(s: SparkSession, dir: String): DataFrame = {
+    val scored = scoreJaccardTokens(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("inter_cnt").desc, col("id_b").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("id_a"), col("id_b"), col("inter_cnt"), col("rnk"))
+  }
+
+  // --------------------------------------------- relational rubric (§2.8)
+
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).cast("decimal(20,2)").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+
+  def qJoinAgg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders").join(tbl(s, dir, "customer"),
+      col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("o_totalprice")).cast("decimal(20,2)").as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  def qWindowTopN(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    tbl(s, dir, "orders").withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+  }
+
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").join(tbl(s, dir, "orders"),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").join(tbl(s, dir, "orders"),
+      col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+
+  def qSetOps(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+      .exceptAll(tbl(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct())
+
+  def qSortLimit(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .limit(50)
+}

@@ -1,0 +1,102 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.cluster.LocalClustering
+import graft.cluster.LocalClustering.Edge
+import graft.data.WebText
+
+/** End-to-end pipeline correctness (FIXTURES.md F5/F6): singleton
+  * completeness, determinism under parallelism, recall vs ground truth,
+  * cluster-equivalence vs the in-JVM reference-semantics oracle, resume. */
+class DedupPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val cfg = DedupConfig()
+  private lazy val pages = WebText.synthetic(spark, 300).toDF().cache()
+  private lazy val clusters = Pipeline.run(spark, pages, cfg).cache()
+
+  test("every input url appears in exactly one output cluster (api.py:209-218)") {
+    val n = pages.count()
+    assert(clusters.count() == n)
+    assert(clusters.select("url").distinct().count() == n)
+  }
+
+  test("dup-pair recall >= 0.99 and precision >= 0.95 vs entity ground truth (common.py:64-81)") {
+    val truth = WebText.truePairs(pages.toDF()).cache()
+    val predicted = clusters.select($"url".as("a"), $"cluster_id").as("x")
+      .join(clusters.select($"url".as("b"), $"cluster_id").as("y"), "cluster_id")
+      .filter($"a" < $"b")
+      .select($"a", $"b").cache()
+    val nTrue = truth.count().toDouble
+    val nPred = predicted.count().toDouble
+    val tp = predicted.join(truth, Seq("a", "b"), "left_semi").count().toDouble
+    val recall = tp / nTrue
+    val precision = if (nPred == 0) 1.0 else tp / nPred
+    info(f"recall=$recall%.4f precision=$precision%.4f true=${nTrue.toLong} pred=${nPred.toLong}")
+    assert(recall >= 0.99, f"recall $recall%.4f below gate")
+    assert(precision >= 0.95, f"precision $precision%.4f below gate")
+  }
+
+  test("cluster equivalence vs in-JVM reference-semantics oracle at same config") {
+    // same scored edges -> distributed CC + flatMapGroups clustering must
+    // produce the same partition as the local reference-semantics oracle
+    val normalized = pages.select($"url", graft.expr.functions.normalize_text($"text").as("text"))
+      .filter($"text".isNotNull)
+    val sigs = Blocking.signatures(normalized, cfg).cache()
+    val keys = Blocking.blockKeys(sigs, cfg)
+    val pairs = Blocking.candidatePairs(keys, sigs.count(), cfg).pairs
+    val scored = Scoring.scorePairs(pairs, sigs).cache()
+
+    val edges = scored.as[(String, String, Float)].collect()
+      .map { case (a, b, s) => Edge(a, b, s.toDouble) }.toSeq
+    val oracle = LocalClustering.addSingletons(
+      normalized.select("url").as[String].collect().toSeq,
+      LocalClustering.cluster(edges, cfg.threshold, cfg.maxComponents))
+    val oraclePartition = oracle.map(_.members.toSet).toSet
+
+    val sparkPartition = clusters.groupBy($"cluster_id")
+      .agg(collect_set($"url").as("members"))
+      .select($"members").as[Seq[String]].collect()
+      .map(_.toSet).toSet
+
+    assert(sparkPartition == oraclePartition)
+  }
+
+  test("deterministic under parallelism: local repartition does not change clusters") {
+    val repartitioned = Pipeline.run(spark, pages.repartition(17), cfg)
+    val a = clusters.select($"url", $"cluster_id").as[(String, String)].collect().toMap
+    val b = repartitioned.select($"url", $"cluster_id").as[(String, String)].collect().toMap
+    assert(a == b)
+  }
+
+  test("confidences match the reference formula per cluster") {
+    // spot-check: all confidences in (0, 1]; singletons exactly 1.0
+    val bad = clusters.filter($"confidence" <= 0.0 || $"confidence" > 1.0).count()
+    assert(bad == 0)
+    val singles = clusters.groupBy($"cluster_id").agg(count(lit(1)).as("n"), max($"confidence").as("c"))
+      .filter($"n" === 1 && $"c" =!= 1.0).count()
+    assert(singles == 0)
+  }
+
+  test("pipeline resumes from per-stage checkpoints (north rule)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val first = Pipeline.run(spark, pages, cfg, Some(dir))
+      .select($"url", $"cluster_id").as[(String, String)].collect().toMap
+    // all stage checkpoints written
+    Seq("normalized", "signatures", "pairs", "scored", "components", "clusters", "metrics")
+      .foreach { s =>
+        assert(graft.io.TableIO.checkpointExists(spark, s"$dir/$s"), s"missing checkpoint $s")
+      }
+    // resume: delete the LAST stage only; rerun must reuse earlier stages and
+    // reproduce identical output
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/clusters"), true)
+    val resumed = Pipeline.run(spark, pages.limit(0), cfg, Some(dir)) // input ignored where checkpoints exist
+      .select($"url", $"cluster_id").as[(String, String)].collect().toMap
+    assert(resumed == first)
+  }
+}
