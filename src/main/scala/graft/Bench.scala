@@ -1,24 +1,65 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main (driver-run): times the flagship near-dup pipeline plus a
+ * curated set of catalog operators on `SPARK_GRAFT_SF_DIR`, printing ONE
+ * JSON line. The headline metric is end-to-end pipeline seconds; docs/sec is
+ * included for BASELINE.md's throughput row.
+ */
 object Bench {
+
+  // Heavy quadratic queries excluded from the bench set (the synthetic
+  // vocab-30 corpus makes token-set LSH near-quadratic by construction;
+  // correctness for those is covered by the sf0.01 oracle gate):
+  private val benchQueries = Seq(
+    "q1_agg", "q_join_agg", "q_window_topn", "q_anti_join", "q_sort_limit",
+    "pred_token_field", "pred_fingerprint", "pred_common_four_gram",
+    "pairs_self_join", "score_jaccard_tokens", "cluster_cc",
+    "dedup_exact", "dedup_minhash_sig", "dedup_simhash16",
+    "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
+    "ann_l2_topk", "mm_binary_meta")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // flagship: full near-dup clustering of the webtext table derived from
+    // this SF's documents (counts force full materialization)
+    val pages = graft.data.WebText.benchCorpus(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = pages.count()
+    val pipelineSec = time {
+      graft.dedup.Pipeline.run(spark, pages, graft.dedup.DedupConfig()).count()
+    }
+    val docsPerSec = nDocs / pipelineSec
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double](
+      "dedup_pipeline" -> pipelineSec)
+    benchQueries.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        results(name) = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+      }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""docs":$nDocs,"docs_per_sec":${f"$docsPerSec%.1f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,92 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{OracleSql, PipelineOps, Queries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory surface (SURVEY.md §2): each entry is
+  * one implemented operator; `oracleSql` holds the DuckDB-equivalent SQL the
+  * driver uses for the correctness gate. Entries without an oracle are
+  * non-SQL-expressible (full dedup pipeline, float cosine ranking) and get
+  * the driver's rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: full near-duplicate clustering of a Common-Crawl-style page
+    * table derived from sf0.001 documents (url, cluster_id, confidence). */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = graft.data.WebText.fromDocuments(spark, "/root/testdata/sf0.001").toDF()
+    graft.dedup.Pipeline.run(spark, pages, graft.dedup.DedupConfig())
+  }
+
+  /** Full pipeline as a catalog query (rows-only check: hierarchical
+    * clustering + confidences are not SQL-expressible). */
+  private def dedupClusterWebtext(s: SparkSession, dir: String): DataFrame = {
+    val pages = graft.data.WebText.fromDocuments(s, dir).toDF()
+    graft.dedup.Pipeline.run(s, pages, graft.dedup.DedupConfig())
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // scans
+    "scan_docs" -> (Queries.scanDocs _),
+    // blocking predicates (SURVEY.md §2.2)
+    "pred_first_token" -> (Queries.predFirstToken _),
+    "pred_first_two_tokens" -> (Queries.predFirstTwoTokens _),
+    "pred_token_field" -> (Queries.predTokenField _),
+    "pred_common_integer" -> (Queries.predCommonInteger _),
+    "pred_alpha_numeric" -> (Queries.predAlphaNumeric _),
+    "pred_near_integers" -> (Queries.predNearIntegers _),
+    "pred_hundred_integer" -> (Queries.predHundredInteger _),
+    "pred_first_integer" -> (Queries.predFirstInteger _),
+    "pred_fingerprint" -> (Queries.predFingerprint _),
+    "pred_one_gram_fingerprint" -> (Queries.predOneGramFingerprint _),
+    "pred_two_gram_fingerprint" -> (Queries.predTwoGramFingerprint _),
+    "pred_common_four_gram" -> (Queries.predCommonFourGram _),
+    "pred_common_six_gram" -> (Queries.predCommonSixGram _),
+    "pred_same_three_char_start" -> (Queries.predSameThreeCharStart _),
+    "pred_same_seven_char_start" -> (Queries.predSameSevenCharStart _),
+    "pred_suffix_array" -> (Queries.predSuffixArray _),
+    "pred_sorted_acronym" -> (Queries.predSortedAcronym _),
+    "pred_common_two_tokens" -> (Queries.predCommonTwoTokens _),
+    "pred_common_two_elements" -> (Queries.predCommonTwoElements _),
+    "pred_first_last_set_element" -> (Queries.predFirstLastSetElement _),
+    "pred_magnitude_cardinality" -> (Queries.predMagnitudeOfCardinality _),
+    "pred_exists" -> (Queries.predExists _),
+    "pred_order_of_magnitude" -> (Queries.predOrderOfMagnitude _),
+    "pred_latlong_grid" -> (Queries.predLatLongGrid _), // rows-only (float grid)
+    // pair generation (§2.3)
+    "pairs_self_join" -> (Queries.pairsSelfJoin _),
+    "pairs_record_link" -> (Queries.pairsRecordLink _),
+    // scoring (§2.4)
+    "score_jaccard_tokens" -> (Queries.scoreJaccardTokens _),
+    // clustering (§2.5)
+    "cluster_cc" -> (Queries.clusterConnectedComponents _),
+    "cluster_gazette_topn" -> (Queries.clusterGazetteTopN _),
+    "dedup_cluster_webtext" -> (dedupClusterWebtext _), // rows-only
+    // relational rubric (§2.8)
+    "q1_agg" -> (Queries.q1Agg _),
+    "q_join_agg" -> (Queries.qJoinAgg _),
+    "q_window_topn" -> (Queries.qWindowTopN _),
+    "q_anti_join" -> (Queries.qAntiJoin _),
+    "q_semi_join" -> (Queries.qSemiJoin _),
+    "q_set_ops" -> (Queries.qSetOps _),
+    "q_sort_limit" -> (Queries.qSortLimit _),
+    // training-data pipeline operators
+    "dedup_exact" -> (PipelineOps.dedupExact _),
+    "dedup_minhash_sig" -> (PipelineOps.minhashSignatures _),
+    "dedup_minhash_lsh" -> (PipelineOps.dedupMinhashLsh _),
+    "dedup_simhash16" -> (PipelineOps.simhash16 _),
+    "dedup_ngram_jaccard" -> (PipelineOps.dedupNgramJaccard _),
+    "text_token_stats" -> (PipelineOps.textTokenStats _),
+    "text_quality" -> (PipelineOps.textQuality _),
+    "text_langid" -> (PipelineOps.textLangId _),
+    "text_fingerprint" -> (PipelineOps.textFingerprint _),
+    "ann_l2_topk" -> (PipelineOps.annTopK _),
+    "ann_cosine_topk" -> (PipelineOps.annCosine _), // rows-only (float math)
+    "mm_binary_meta" -> (PipelineOps.mmBinaryMeta _)
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

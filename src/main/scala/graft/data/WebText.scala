@@ -111,17 +111,30 @@ object WebText {
 
   /** Pages derived from the driver testdata `documents.parquet`
     * (TESTDATA.md): each document becomes an entity with 0-3 near-duplicate
-    * variants. Uses the documents' own text + lang. */
+    * variants. Uses the documents' own text + lang. Entity ids are offset
+    * into their own namespace so the corpus can be unioned with
+    * [[synthetic]] without url collisions. */
   def fromDocuments(spark: SparkSession, sfDir: String, seed: Long = 42L): Dataset[Page] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text", $"lang")
       .as[(Long, String, String)]
       .flatMap { case (docId, text, lang) =>
-        (0 to nVariants(docId, seed)).map { v =>
-          mkPage(docId, v, variantText(text, docId, v, seed), lang, seed)
+        val entity = docId + 1000000000L
+        (0 to nVariants(entity, seed)).map { v =>
+          mkPage(entity, v, variantText(text, entity, v, seed), lang, seed)
         }
       }
+  }
+
+  /** Bench corpus: documents-derived pages unioned with a `mult`x synthetic
+    * corpus (disjoint entity namespaces) — sized so throughput numbers are
+    * meaningful at each SF even though `documents` itself stays small. */
+  def benchCorpus(spark: SparkSession, sfDir: String, mult: Int = 20,
+                  seed: Long = 42L): DataFrame = {
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    fromDocuments(spark, sfDir, seed).toDF()
+      .unionAll(synthetic(spark, nDocs * mult, seed).toDF())
   }
 
   /** Ground-truth duplicate pairs (a < b by url) within each entity —

@@ -123,20 +123,28 @@ object Blocking {
 
     val cap = hotKeyCap(nDocs, cfg)
 
-    // dedupe re-emitted (key, id) duplicates up front (the reference's unique
-    // (record_id, block_key) index, api.py:273-276), then count per key
-    val distinctKeys = keys.distinct()
-    val counts = distinctKeys.groupBy($"key").agg(count(lit(1)).as("df"))
+    // (key, id) tuples are distinct by construction (every source emits
+    // distinct keys per doc, sources live in disjoint keyspaces) — the
+    // reference needs a unique (record_id, block_key) index (api.py:273-276)
+    // only because its predicates can re-emit; no global distinct here.
+    // Per-key document frequency: partial-aggregated count, one pass.
+    val counts = keys.groupBy($"key").agg(count(lit(1)).as("df"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = counts.agg(
+      sum(when($"df" > cap, 1L).otherwise(0L)).as("hot"),
+      count(lit(1)).as("total")).head()
+    val hotCount = stats.getLong(0)
+    val totalKeys = stats.getLong(1)
     val hot = counts.filter($"df" > cap).select($"key")
-    val hotCount = hot.count()
-    val totalKeys = counts.count()
 
-    val kept = distinctKeys.join(broadcast(hot), Seq("key"), "left_anti")
+    // hot keys dropped BEFORE any member collection (stop-word rule):
+    // a mega-bucket never materializes anywhere
+    val kept = keys.join(broadcast(hot), Seq("key"), "left_anti")
 
     // within-bucket pair generation; bucket size bounded by `cap`
     val pairs = kept
       .groupBy($"key")
-      .agg(collect_list(col(idCol)).as("members"))
+      .agg(collect_set(col(idCol)).as("members"))
       .filter(size($"members") >= 2)
       .select($"members")
       .as[Seq[String]]

@@ -42,10 +42,18 @@ object ConnectedComponents {
     var assign = sym.select($"src".as("id")).distinct()
       .withColumn("comp", $"id")
       .localCheckpoint(true)
+    if (assign.isEmpty) { sym.unpersist(); return assign }
+
+    // convergence via a multiset checksum of (id, comp) — one narrow agg per
+    // iteration instead of a join; collision probability ~2^-64.
+    // Decimal accumulator: exact + overflow-free under ANSI mode.
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(xxhash64($"id", $"comp").cast("decimal(38,0)"))).head().getDecimal(0)
 
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIterations) {
+    var prevSum = checksum(assign)
+    var changed = true
+    while (changed && iter < maxIterations) {
       // neighbor minimum (partial agg combines map-side)
       val nbrMin = sym
         .join(assign.withColumnRenamed("id", "dst"), Seq("dst"))
@@ -64,10 +72,9 @@ object ConnectedComponents {
         .select(stepped("id"), coalesce($"jcomp", stepped("comp")).as("comp"))
         .localCheckpoint(true)
 
-      changed = next.as("n")
-        .join(assign.as("o"), $"n.id" === $"o.id")
-        .filter($"n.comp" =!= $"o.comp")
-        .count()
+      val nextSum = checksum(next)
+      changed = nextSum != prevSum
+      prevSum = nextSum
       assign = next
       iter += 1
     }

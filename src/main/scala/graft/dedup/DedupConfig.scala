@@ -18,6 +18,14 @@ final case class DedupConfig(
     bands: Int = 32,
     seed: Long = 42L,
     threshold: Double = 0.5,
+    /** Candidate-edge score floor. The reference drops pairs its classifier
+      * scores as exactly 0 (`core.py:81-84`) — an LR trained on dup/non-dup
+      * pairs maps dissimilar pairs to ~0, keeping the edge list sparse. Our
+      * fixed-config analogue: Jaccard below this floor scores as 0 and is
+      * dropped. Without it, ubiquitous weak edges (J~0.1-0.25 between
+      * unrelated same-domain pages) fuse the graph into one giant component.
+      * Set 0.0 for the literal score>0 reference semantics. */
+    minScore: Double = 0.3,
     /** Hot band-key cap: keys with document frequency > max(hotKeyMin,
       * hotKeyFrac * N) are dropped — the canopy stop-word rule
       * (`canopy_index.py:25`), the single most important skew control. */
@@ -45,7 +53,7 @@ final case class DedupConfig(
 
   def toJson: String =
     s"""{"version":$version,"shingleK":$shingleK,"numHashes":$numHashes,"bands":$bands,""" +
-      s""""seed":$seed,"threshold":$threshold,"hotKeyMin":$hotKeyMin,"hotKeyFrac":$hotKeyFrac,""" +
+      s""""seed":$seed,"threshold":$threshold,"minScore":$minScore,"hotKeyMin":$hotKeyMin,"hotKeyFrac":$hotKeyFrac,""" +
       s""""maxComponents":$maxComponents,"useSimHash":$useSimHash,"simhashBands":$simhashBands,""" +
       s""""simhashMaxHamming":$simhashMaxHamming,"useSuffix":$useSuffix,"suffixWidth":$suffixWidth,""" +
       s""""suffixEvery":$suffixEvery,"useExact":$useExact}"""

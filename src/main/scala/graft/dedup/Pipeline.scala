@@ -77,7 +77,7 @@ object Pipeline {
 
     // 4. scored pairs
     val scored = stage("scored") {
-      Scoring.scorePairs(pairs, sigs)
+      Scoring.scorePairs(pairs, sigs, minScore = cfg.minScore)
     }
     record("scored", scored)
 

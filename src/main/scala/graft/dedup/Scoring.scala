@@ -26,13 +26,14 @@ object Scoring {
    * @param sigs  signature table with (url, shingles)
    * @return (a, b, score: float) with score > 0 rows only
    */
-  def scorePairs(pairs: DataFrame, sigs: DataFrame, idCol: String = "url"): DataFrame = {
+  def scorePairs(pairs: DataFrame, sigs: DataFrame, idCol: String = "url",
+                 minScore: Double = 0.0): DataFrame = {
     val sh = sigs.select(col(idCol).as("sid"), col("shingles"))
     pairs
       .join(sh.withColumnRenamed("sid", "a").withColumnRenamed("shingles", "sh_a"), Seq("a"))
       .join(sh.withColumnRenamed("sid", "b").withColumnRenamed("shingles", "sh_b"), Seq("b"))
       .select(col("a"), col("b"),
         gf.jaccard_sorted(col("sh_a"), col("sh_b")).cast("float").as("score"))
-      .filter(col("score") > 0f) // zero-score drop, core.py:81-84
+      .filter(col("score") > math.max(0.0, minScore)) // zero-score drop, core.py:81-84
   }
 }

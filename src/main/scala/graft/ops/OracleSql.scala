@@ -1,0 +1,315 @@
+package graft.ops
+
+/**
+ * DuckDB-dialect oracles, one per entry in [[graft.SparkEntry.queries]].
+ * Each is semantically identical to the Spark query (same column names,
+ * same value types; integer/decimal outputs wherever floats would risk
+ * cross-engine drift).
+ */
+object OracleSql {
+
+  /** word tokens `[a-z0-9']+` (single quote doubled for SQL literals) */
+  private val TOKS = "regexp_extract_all(text, '[a-z0-9'']+')"
+  /** portable 60-bit hash */
+  private def H60(x: String) = s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  private val TWO_TOKEN_KEY =
+    "regexp_extract(text, '^([a-z0-9'']+[^a-z0-9'']+[a-z0-9'']+)', 1)"
+
+  private val SCORE_JACCARD_CTE = s"""
+    WITH d AS (
+      SELECT doc_id, list_distinct($TOKS) AS t, $TWO_TOKEN_KEY AS key FROM documents)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS inter_cnt,
+      CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS BIGINT) AS union_cnt
+    FROM d a JOIN d b USING (key)
+    WHERE a.doc_id < b.doc_id AND a.key <> ''"""
+
+  private val MINHASH_SIG_CTE = s"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents),
+    tj AS (SELECT doc_id, tok, unnest(generate_series(0, 7)) AS j FROM tok)
+    SELECT doc_id, j,
+      min(CAST('0x' || substr(md5(tok || '#' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT)) AS mh
+    FROM tj GROUP BY doc_id, j"""
+
+  private val LSH_SQL = s"""
+    WITH sig AS ($MINHASH_SIG_CTE),
+    bk AS (
+      SELECT doc_id, j // 4 AS band,
+        string_agg(CAST(j AS VARCHAR) || ':' || CAST(mh AS VARCHAR), ',' ORDER BY j) AS bkey
+      FROM sig GROUP BY doc_id, j // 4)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
+
+  val sql: Map[String, String] = Map(
+    // ------------------------------------------------------------- scans
+    "scan_docs" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 100",
+
+    // -------------------------------------------------------- predicates
+    "pred_first_token" -> s"""
+      SELECT doc_id, regexp_extract(text, '^([a-z0-9'']+)', 1) AS key
+      FROM documents WHERE regexp_extract(text, '^([a-z0-9'']+)', 1) <> ''""",
+
+    "pred_first_two_tokens" -> s"""
+      SELECT doc_id, $TWO_TOKEN_KEY AS key
+      FROM documents WHERE $TWO_TOKEN_KEY <> ''""",
+
+    "pred_token_field" -> s"""
+      SELECT doc_id, unnest(list_distinct($TOKS)) AS key FROM documents""",
+
+    "pred_common_integer" -> """
+      SELECT DISTINCT doc_id, CAST(CAST(i AS BIGINT) AS VARCHAR) AS key
+      FROM (SELECT doc_id, unnest(list_distinct(regexp_extract_all(source, '[0-9]+'))) AS i
+            FROM documents)""",
+
+    "pred_alpha_numeric" -> """
+      SELECT doc_id, unnest(list_distinct(regexp_extract_all(source, '[a-z]*[0-9][a-z0-9]*'))) AS key
+      FROM documents""",
+
+    "pred_near_integers" -> """
+      SELECT DISTINCT doc_id, CAST(i AS BIGINT) + d AS key
+      FROM (SELECT doc_id, unnest(list_distinct(regexp_extract_all(source, '[0-9]+'))) AS i
+            FROM documents), (SELECT unnest([-1, 0, 1]) AS d)""",
+
+    "pred_hundred_integer" -> """
+      SELECT DISTINCT doc_id,
+        CASE WHEN CAST(i AS BIGINT) < 100 THEN '00'
+             ELSE CAST(CAST(i AS BIGINT) // 100 AS VARCHAR) || '00' END AS key
+      FROM (SELECT doc_id, unnest(list_distinct(regexp_extract_all(source, '[0-9]+'))) AS i
+            FROM documents)""",
+
+    "pred_first_integer" -> """
+      SELECT doc_id, regexp_extract(CAST(n_chars AS VARCHAR) || ' ' || source, '^([0-9]+)', 1) AS key
+      FROM documents
+      WHERE regexp_extract(CAST(n_chars AS VARCHAR) || ' ' || source, '^([0-9]+)', 1) <> ''""",
+
+    "pred_fingerprint" -> """
+      SELECT doc_id, array_to_string(list_sort(string_split(text, ' ')), '') AS key
+      FROM documents""",
+
+    "pred_one_gram_fingerprint" -> """
+      SELECT doc_id,
+        array_to_string(list_sort(list_distinct(regexp_extract_all(replace(text, ' ', ''), '.'))), '') AS key
+      FROM documents""",
+
+    "pred_two_gram_fingerprint" -> """
+      SELECT doc_id, array_to_string(list_sort(list_distinct(
+        list_transform(generate_series(1, greatest(len(replace(text,' ','')) - 1, 0)),
+                       i -> substr(replace(text,' ',''), i, 2)))), '') AS key
+      FROM documents""",
+
+    "pred_common_four_gram" -> """
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(generate_series(1, greatest(len(replace(text,' ','')) - 3, 0)),
+                       i -> substr(replace(text,' ',''), i, 4)))) AS key
+      FROM documents""",
+
+    "pred_common_six_gram" -> """
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(generate_series(1, greatest(len(replace(text,' ','')) - 5, 0)),
+                       i -> substr(replace(text,' ',''), i, 6)))) AS key
+      FROM documents""",
+
+    "pred_same_three_char_start" -> """
+      SELECT doc_id, substr(replace(text, ' ', ''), 1, 3) AS key FROM documents""",
+
+    "pred_same_seven_char_start" -> """
+      SELECT doc_id, substr(replace(text, ' ', ''), 1, 7) AS key FROM documents""",
+
+    "pred_suffix_array" -> """
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+                       i -> substr(t, i, len(t) - i + 1)))) AS key
+      FROM (SELECT doc_id, substr(text, 1, 24) AS t FROM documents)""",
+
+    "pred_sorted_acronym" -> """
+      SELECT doc_id, array_to_string(list_sort(
+        list_transform(string_split(text, ' '), t -> substr(t, 1, 1))), '') AS key
+      FROM documents""",
+
+    "pred_common_two_tokens" -> """
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                       i -> t[i] || ' ' || t[i+1]))) AS key
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""",
+
+    "pred_common_two_elements" -> s"""
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                       i -> t[i] || ' ' || t[i+1]))) AS key
+      FROM (SELECT doc_id, list_sort(list_distinct($TOKS)) AS t FROM documents)""",
+
+    "pred_first_last_set_element" -> s"""
+      SELECT doc_id, list_aggregate($TOKS, 'min') AS first_el,
+             list_aggregate($TOKS, 'max') AS last_el
+      FROM documents""",
+
+    "pred_magnitude_cardinality" -> s"""
+      SELECT doc_id, CAST(CAST(round(log10(CAST(len(list_distinct($TOKS)) AS DOUBLE))) AS BIGINT) AS VARCHAR) AS key
+      FROM documents""",
+
+    "pred_exists" -> """
+      SELECT doc_id, CASE WHEN text IS NOT NULL AND len(text) > 0 THEN '1' ELSE '0' END AS key
+      FROM documents""",
+
+    "pred_order_of_magnitude" -> """
+      SELECT o_orderkey, CASE WHEN o_totalprice > 0
+        THEN CAST(round(log10(o_totalprice)) AS BIGINT) END AS key
+      FROM orders""",
+
+    // --------------------------------------------------- pair generation
+    "pairs_self_join" -> s"""
+      WITH k AS (SELECT doc_id, $TWO_TOKEN_KEY AS key FROM documents)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM k a JOIN k b USING (key)
+      WHERE a.doc_id < b.doc_id AND a.key <> ''""",
+
+    "pairs_record_link" -> """
+      WITH k AS (SELECT doc_id, regexp_extract(text, '^([a-z0-9'']+)', 1) AS key FROM documents)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM k a JOIN k b USING (key)
+      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1""",
+
+    // ----------------------------------------------------------- scoring
+    "score_jaccard_tokens" -> SCORE_JACCARD_CTE,
+
+    // -------------------------------------------------------- clustering
+    "cluster_cc" -> """
+      WITH RECURSIVE
+      edges AS (SELECT doc_id AS a, doc_id * 2 AS b FROM documents
+                WHERE doc_id > 0 AND doc_id * 2 <= (SELECT max(doc_id) FROM documents)),
+      sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      reach(n, r) AS (
+        SELECT a, b FROM sym
+        UNION SELECT a, a FROM sym
+        UNION SELECT reach.n, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+      SELECT n AS node, min(r) AS comp FROM reach GROUP BY n""",
+
+    "cluster_gazette_topn" -> s"""
+      WITH scored AS ($SCORE_JACCARD_CTE)
+      SELECT id_a, id_b, inter_cnt, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY inter_cnt DESC, id_b ASC) AS rnk
+        FROM scored) WHERE rnk <= 2""",
+
+    // --------------------------------------------- relational rubric ops
+    "q1_agg" -> """
+      SELECT l_returnflag, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag""",
+
+    "q_join_agg" -> """
+      SELECT c_mktsegment, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+             count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment""",
+
+    "q_window_topn" -> """
+      SELECT o_custkey, o_orderkey, rnk FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        FROM orders) WHERE rnk <= 3""",
+
+    "q_anti_join" -> """
+      SELECT c_custkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q_semi_join" -> """
+      SELECT c_custkey FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "q_set_ops" -> """
+      SELECT DISTINCT c_nationkey AS nk FROM customer
+      EXCEPT SELECT DISTINCT s_nationkey AS nk FROM supplier""",
+
+    "q_sort_limit" -> """
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 50""",
+
+    // ------------------------------------------- training-pipeline extras
+    "dedup_exact" -> s"""
+      WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, upper(text) FROM documents)
+      SELECT ${H60("lower(text)")} AS key_h, min(doc_id) AS rep_id, count(*) AS sz
+      FROM all_docs GROUP BY 1""",
+
+    "dedup_minhash_sig" -> MINHASH_SIG_CTE,
+
+    "dedup_minhash_lsh" -> LSH_SQL,
+
+    "dedup_simhash16" -> s"""
+      WITH tok AS (SELECT DISTINCT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents),
+      h AS (SELECT doc_id, ${H60("tok")} AS h FROM tok),
+      bits AS (SELECT doc_id, b, ((h >> b) & 1) * 2 - 1 AS v
+               FROM h, (SELECT unnest(generate_series(0, 15)) AS b)),
+      votes AS (SELECT doc_id, b, sum(v) AS vote FROM bits GROUP BY doc_id, b)
+      SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id""",
+
+    "dedup_ngram_jaccard" -> s"""
+      WITH grams AS (
+        SELECT doc_id, list_distinct(
+          list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      pairs AS ($LSH_SQL)
+      SELECT p.id_a, p.id_b,
+        CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS inter_cnt,
+        CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS BIGINT) AS union_cnt
+      FROM pairs p JOIN grams a ON p.id_a = a.doc_id JOIN grams b ON p.id_b = b.doc_id""",
+
+    "text_token_stats" -> s"""
+      SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct($TOKS)) AS BIGINT) AS n_distinct,
+             CAST(len(text) AS BIGINT) AS len_chars
+      FROM documents""",
+
+    "text_quality" -> s"""
+      SELECT doc_id,
+        CAST(floor(len(list_intersect(list_distinct($TOKS), ['the','a','and','of','to'])) * 1000.0
+          / greatest(len(list_distinct($TOKS)), 1)) AS BIGINT) AS stop_ratio_q,
+        CAST(floor((len(text) - len(translate(text, '.,!?;:', ''))) * 1000.0
+          / greatest(len(text), 1)) AS BIGINT) AS punct_ratio_q,
+        CAST(floor(len(replace(text, ' ', '')) * 1000.0
+          / greatest(len($TOKS), 1)) AS BIGINT) AS mean_tok_len_q
+      FROM documents""",
+
+    "text_langid" -> s"""
+      WITH v AS (SELECT doc_id,
+        len(list_intersect(list_distinct($TOKS), ['the','a','and','of','to','is'])) AS en,
+        len(list_intersect(list_distinct($TOKS), ['der','die','das','und','ist'])) AS de,
+        len(list_intersect(list_distinct($TOKS), ['le','la','et','les','est'])) AS fr
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN en >= de AND en >= fr THEN 'en' WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred,
+        CAST(en AS BIGINT) AS en_votes
+      FROM v""",
+
+    "text_fingerprint" -> s"""
+      WITH pt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+                  FROM documents)
+      SELECT doc_id, CAST(sum((${H60("tok")} % 1000003) * pos) AS BIGINT) AS fingerprint
+      FROM pt GROUP BY doc_id""",
+
+    "ann_l2_topk" -> """
+      WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT)) AS q
+        FROM embeddings),
+      qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 10),
+      d AS (SELECT qs.query_id, e.vec_id AS neighbor_id,
+          list_aggregate(list_transform(generate_series(1, len(qs.qv)),
+            i -> (qs.qv[i] - e.q[i]) * (qs.qv[i] - e.q[i])), 'sum')::BIGINT AS dist2
+        FROM qs, e WHERE e.vec_id <> qs.query_id)
+      SELECT query_id, neighbor_id, rnk, dist2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, neighbor_id ASC) AS rnk
+        FROM d) WHERE rnk <= 5""",
+
+    "mm_binary_meta" -> s"""
+      SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             ${H60("text")} AS content_h
+      FROM documents"""
+  )
+}

@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Queries.{h60, toks}
+
+/**
+ * Large-scale training-data pipeline operators (beyond the reference's own
+ * surface): exact dedup, portable MinHash/LSH dedup, SimHash, n-gram Jaccard,
+ * ANN similarity search, text analysis (lang-id, quality, token stats,
+ * fingerprinting). Each has a DuckDB oracle in [[OracleSql]] built from the
+ * same portable primitives (md5-based 60-bit hash, integer quantization).
+ */
+object PipelineOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // -------------------------------------------------------- exact dedup
+
+  /** Exact dedup over a corpus with case-variant copies: hash-groupBy on the
+    * normalized text; per group the representative is min(doc_id) — the
+    * hash-groupBy analogue of `getCanonicalRep` (canonical.py:56-79). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      upper(col("text")).as("text"))
+    base.unionAll(variants)
+      .groupBy(h60(lower(col("text"))).as("key_h"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("sz"))
+  }
+
+  // ------------------------------------------------- portable minhash/LSH
+
+  /** Per-doc 8-function MinHash signature over word tokens, portable across
+    * engines (md5-based hashes) — the LSH analogue of the TfidfPredicate
+    * family (predicates.py:276-325). Output one row per (doc, hash index). */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+    val withJ = tok.select(col("doc_id"), col("tok"),
+      explode(sequence(lit(0), lit(7))).as("j"))
+    withJ
+      .select(col("doc_id"), col("j"),
+        h60(concat_ws("#", col("tok"), col("j").cast("string"))).as("h"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(col("h")).as("mh"))
+  }
+
+  /** LSH band candidate pairs: 2 bands x 4 rows over the 8-hash signature;
+    * docs sharing a full band become a pair (a < b, distinct) — the
+    * CompoundPredicate AND-construction (predicates.py:346-376). */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(s, dir)
+      .withColumn("band", (col("j") / 4).cast("int"))
+    val bandKey = sig.groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws(",", sort_array(collect_list(
+        concat_ws(":", col("j").cast("string"), col("mh").cast("string"))))).as("bk"))
+    bandKey.as("a").join(bandKey.as("b"),
+      col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  // ------------------------------------------------------ portable simhash
+
+  /** 16-bit portable SimHash over distinct word tokens. */
+  def simhash16(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+      .select(col("doc_id"), h60(col("tok")).as("h"))
+    val bits = tok.select(col("doc_id"), col("h"),
+      explode(sequence(lit(0), lit(15))).as("b"))
+      .select(col("doc_id"), col("b"),
+        (expr("(h >> b) & 1") * 2 - 1).as("v"))
+    // per (doc, bit): sum of +-1 votes -> bit set iff positive
+    bits.groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("v")).as("vote"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, cast(b as int))")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  // -------------------------------------------------- n-gram jaccard dedup
+
+  /** Word-3-gram Jaccard (integer counts) for LSH candidate pairs —
+    * near-dup verification, commonThreeTokens analogue over pairs. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, greatest(size(t) - 2, 0)), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
+      )).as("g"))
+    val pairs = dedupMinhashLsh(s, dir)
+    pairs
+      .join(grams.select(col("doc_id").as("id_a"), col("g").as("g_a")), Seq("id_a"))
+      .join(grams.select(col("doc_id").as("id_b"), col("g").as("g_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("g_a"), col("g_b"))).cast("long").as("inter_cnt"),
+        size(array_union(col("g_a"), col("g_b"))).cast("long").as("union_cnt"))
+  }
+
+  // --------------------------------------------------------- text analysis
+
+  /** Token/char statistics per document. */
+  def textTokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      size(toks(col("text"))).cast("long").as("n_tokens"),
+      size(array_distinct(toks(col("text")))).cast("long").as("n_distinct"),
+      length(col("text")).cast("long").as("len_chars"))
+
+  /** Quality-score features: integer-safe ratios (x1000). */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val stop = array(lit("the"), lit("a"), lit("and"), lit("of"), lit("to"))
+    docs(s, dir).select(col("doc_id"),
+      floor(size(array_intersect(array_distinct(t), stop)) * 1000
+        / greatest(size(array_distinct(t)), lit(1))).cast("long").as("stop_ratio_q"),
+      floor((length(col("text")) - length(translate(col("text"), ".,!?;:", ""))) * 1000
+        / greatest(length(col("text")), lit(1))).cast("long").as("punct_ratio_q"),
+      floor(length(translate(col("text"), " ", "")) * 1000
+        / greatest(size(t), lit(1))).cast("long").as("mean_tok_len_q"))
+  }
+
+  /** n-gram-free language-ID heuristic: stopword votes per language,
+    * argmax with lexicographic tie-break. */
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    val t = array_distinct(toks(col("text")))
+    def votes(words: Seq[String]): Column =
+      size(array_intersect(t, array(words.map(lit): _*)))
+    val en = votes(Seq("the", "a", "and", "of", "to", "is"))
+    val de = votes(Seq("der", "die", "das", "und", "ist"))
+    val fr = votes(Seq("le", "la", "et", "les", "est"))
+    docs(s, dir).select(col("doc_id"),
+      when(en >= de && en >= fr, "en")
+        .when(de >= fr, "de")
+        .otherwise("fr").as("lang_pred"),
+      en.cast("long").as("en_votes"))
+  }
+
+  /** Positional rolling fingerprint: sum over tokens of
+    * (h60(token) mod 1000003) * position — document fingerprinting with
+    * exact integer arithmetic. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), ((h60(col("tok")) % 1000003L) * (col("pos") + 1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("fingerprint"))
+
+  // ------------------------------------------------------ similarity search
+
+  /** Brute-force top-5 nearest neighbors by exact quantized L2 distance for
+    * the first 10 query vectors (deterministic across engines: embeddings
+    * quantized to ints via floor(x*1e5), distances exact in int64). */
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 100000) as bigint))").as("q"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    val dist = queries.crossJoin(e.select(col("vec_id").as("neighbor_id"), col("q").as("nv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("aggregate(zip_with(qv, nv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+          .as("dist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist2").asc, col("neighbor_id").asc)
+    dist.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("dist2"))
+  }
+
+  /** Brute-force cosine top-k over the raw float embeddings (float math —
+    * no SQL oracle; validated by the rows-only check + [[annTopK]]'s exact
+    * integer variant). Scale path: replace the cross join with an
+    * LSH/IVF-bucketed candidate join, same verification tail. */
+  def annCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val dist = queries.crossJoin(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
+          (sqrt(expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")) *
+            sqrt(expr("aggregate(nv, 0D, (acc, x) -> acc + x * x)")))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    dist.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------- multimodal
+
+  /** Binary-column metadata pass: treat the payload as an opaque blob with
+    * typed metadata (doc text stands in for image bytes in this sandbox). */
+  def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      length(col("text").cast("binary")).cast("long").as("n_bytes"),
+      h60(col("text")).as("content_h"))
+}

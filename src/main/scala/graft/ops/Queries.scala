@@ -239,9 +239,10 @@ object Queries {
   def clusterConnectedComponents(s: SparkSession, dir: String): DataFrame = {
     val ids = docs(s, dir).select(col("doc_id"))
     val maxId = ids.agg(max("doc_id")).head().getLong(0)
+    // zero-pad ids so the CC's lexicographic min label == numeric min
     val edges = ids.filter(col("doc_id") > 0 && col("doc_id") * 2 <= maxId)
-      .select(col("doc_id").cast("string").as("a"),
-        (col("doc_id") * 2).cast("string").as("b"))
+      .select(lpad(col("doc_id").cast("string"), 12, "0").as("a"),
+        lpad((col("doc_id") * 2).cast("string"), 12, "0").as("b"))
     graft.dedup.ConnectedComponents.run(edges)
       .select(col("id").cast("long").as("node"), col("comp").cast("long").as("comp"))
   }
@@ -261,14 +262,14 @@ object Queries {
 
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem").groupBy(col("l_returnflag"))
-      .agg(sum(col("l_quantity")).cast("decimal(20,2)").as("sum_qty"),
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
         count(lit(1)).as("cnt"))
 
   def qJoinAgg(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "orders").join(tbl(s, dir, "customer"),
       col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(sum(col("o_totalprice")).cast("decimal(20,2)").as("revenue"),
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_c"),
         count(lit(1)).as("n_orders"))
 
   def qWindowTopN(s: SparkSession, dir: String): DataFrame = {

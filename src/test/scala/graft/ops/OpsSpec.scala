@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.data.WebText
+import graft.dedup.{DedupConfig, Matching}
+import graft.streaming.GazetteerStream
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("greedy one-to-one matching matches reference semantics (clustering.py:284-296)") {
+    val scored = Seq(
+      ("q1", "c5", 0.1), ("q1", "c6", 0.72), ("q1", "c7", 0.2), ("q1", "c8", 0.6),
+      ("q2", "c5", 0.2), ("q2", "c6", 0.2), ("q2", "c7", 0.72), ("q2", "c8", 0.3),
+      ("q3", "c5", 0.24), ("q3", "c6", 0.72), ("q3", "c7", 0.24), ("q3", "c8", 0.65),
+      ("q4", "c5", 0.63), ("q4", "c6", 0.96), ("q4", "c7", 0.23)
+    ).toDF("a", "b", "score")
+    val got = Matching.greedyOneToOne(scored)
+      .as[(String, String, Double)].collect().toSet
+    assert(got == Set(("q4", "c6", 0.96), ("q2", "c7", 0.72), ("q3", "c8", 0.65), ("q1", "c5", 0.1)))
+  }
+
+  test("gazetteer top-n window (clustering.py:299-311)") {
+    val scored = Seq(
+      ("q1", "c1", 0.9), ("q1", "c2", 0.8), ("q1", "c3", 0.7),
+      ("q2", "c1", 0.4), ("q2", "c2", 0.0)
+    ).toDF("a", "b", "score")
+    val got = Matching.gazetteTopN(scored, threshold = 0.1, n = 2)
+      .select("a", "b").as[(String, String)].collect().toSet
+    assert(got == Set(("q1", "c1"), ("q1", "c2"), ("q2", "c1")))
+  }
+
+  test("streaming gazetteer: stream-static LSH join finds near-dups (api.py:938-995)") {
+    val cfg = DedupConfig()
+    val canonicalPages = WebText.synthetic(spark, 50).toDF()
+      .filter($"url".endsWith("/v0"))
+    val canonical = GazetteerStream.canonicalIndex(canonicalPages, cfg).cache()
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    // query three pages: two near-dup variants of canonical entities + one novel
+    val variants = WebText.synthetic(spark, 50).toDF()
+      .filter(!$"url".endsWith("/v0")).limit(2)
+      .select($"url", $"text").as[(String, String)].collect()
+    stream.addData(variants.toSeq :+ (("https://novel.example/x", "entirely novel text nobody has indexed before zebra quantum")))
+
+    val matches = GazetteerStream.matches(
+      stream.toDF().toDF("url", "text"), canonical, cfg, threshold = 0.5)
+    val q = matches.writeStream.format("memory").queryName("gaz_matches")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gaz_matches")
+      .select($"query_url", $"match_url").as[(String, String)].collect()
+    // each variant should match its own entity's canonical page; novel -> none
+    assert(got.nonEmpty)
+    assert(got.forall { case (qu, mu) =>
+      qu.split("/p/")(1).split("/")(0) == mu.split("/p/")(1).split("/")(0)
+    })
+    assert(!got.exists(_._1.contains("novel")))
+    assert(got.map(_._1).distinct.length == 2)
+  }
+
+  test("multimodal extract: partition-batched decode stub over binary column") {
+    val pages = WebText.synthetic(spark, 20).toDF().select($"url", $"html")
+    val metas = Multimodal.extract(pages).collect()
+    assert(metas.length == pages.count())
+    assert(metas.forall(_.kind == "html"))
+    assert(metas.forall(m => m.n_bytes > 0 && m.features.length == 8))
+    // deterministic across runs
+    val again = Multimodal.extract(pages).collect()
+    assert(metas.map(m => (m.url, m.width, m.height)).toSet ==
+      again.map(m => (m.url, m.width, m.height)).toSet)
+    // null/empty payload safety
+    val junk = Seq(("u1", null.asInstanceOf[Array[Byte]]), ("u2", Array.emptyByteArray))
+      .toDF("url", "html")
+    val jm = Multimodal.extract(junk).collect()
+    assert(jm.forall(m => m.n_bytes == 0 && m.features.isEmpty))
+  }
+
+  test("canonicalize clusters distributed (canonical.py:56-79)") {
+    val clustered = Seq(
+      ("u1", "c1", "mary crane"),
+      ("u2", "c1", "mary crane east"),
+      ("u3", "c1", "mary crane west"),
+      ("u4", "c2", "lone doc text")
+    ).toDF("url", "cluster_id", "text")
+    val rows = graft.cluster.Canonical.canonicalize(clustered)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(rows("c1")._3 == "mary crane")
+    assert(rows("c1")._1 == "u1")
+    assert(rows("c1")._2 == "u3") // longest text; length tie -> max id
+    assert(rows("c2")._3 == "lone doc text")
+  }
+}
