@@ -39,6 +39,7 @@ object SparkEntry {
     "pred_alpha_numeric" -> (Queries.predAlphaNumeric _),
     "pred_near_integers" -> (Queries.predNearIntegers _),
     "pred_hundred_integer" -> (Queries.predHundredInteger _),
+    "pred_hundred_integers_odd" -> (Queries.predHundredIntegersOdd _),
     "pred_first_integer" -> (Queries.predFirstInteger _),
     "pred_fingerprint" -> (Queries.predFingerprint _),
     "pred_one_gram_fingerprint" -> (Queries.predOneGramFingerprint _),
@@ -46,6 +47,7 @@ object SparkEntry {
     "pred_common_four_gram" -> (Queries.predCommonFourGram _),
     "pred_common_six_gram" -> (Queries.predCommonSixGram _),
     "pred_same_three_char_start" -> (Queries.predSameThreeCharStart _),
+    "pred_same_five_char_start" -> (Queries.predSameFiveCharStart _),
     "pred_same_seven_char_start" -> (Queries.predSameSevenCharStart _),
     "pred_suffix_array" -> (Queries.predSuffixArray _),
     "pred_sorted_acronym" -> (Queries.predSortedAcronym _),
@@ -55,12 +57,15 @@ object SparkEntry {
     "pred_magnitude_cardinality" -> (Queries.predMagnitudeOfCardinality _),
     "pred_exists" -> (Queries.predExists _),
     "pred_order_of_magnitude" -> (Queries.predOrderOfMagnitude _),
+    "pred_round_to1" -> (Queries.predRoundTo1 _),
     "pred_latlong_grid" -> (Queries.predLatLongGrid _), // rows-only (float grid)
     // pair generation (§2.3)
     "pairs_self_join" -> (Queries.pairsSelfJoin _),
     "pairs_record_link" -> (Queries.pairsRecordLink _),
     // scoring (§2.4)
     "score_jaccard_tokens" -> (Queries.scoreJaccardTokens _),
+    "score_features" -> (PipelineOps.scoreFeatures _),
+    "score_lr_sigmoid" -> (PipelineOps.scoreLrSigmoid _),
     // clustering (§2.5)
     "cluster_cc" -> (Queries.clusterConnectedComponents _),
     "cluster_gazette_topn" -> (Queries.clusterGazetteTopN _),
@@ -73,6 +78,10 @@ object SparkEntry {
     "q_semi_join" -> (Queries.qSemiJoin _),
     "q_set_ops" -> (Queries.qSetOps _),
     "q_sort_limit" -> (Queries.qSortLimit _),
+    "q_count_distinct" -> (Queries.qCountDistinct _),
+    "q_events_window" -> (Queries.qEventsWindow _),
+    "q_json_extract" -> (Queries.qJsonExtract _),
+    "scan_csv_preprocess" -> (Queries.scanCsvPreprocess _), // rows-only (temp CSV source)
     // training-data pipeline operators
     "dedup_exact" -> (PipelineOps.dedupExact _),
     "dedup_minhash_sig" -> (PipelineOps.minhashSignatures _),
@@ -85,7 +94,8 @@ object SparkEntry {
     "text_fingerprint" -> (PipelineOps.textFingerprint _),
     "ann_l2_topk" -> (PipelineOps.annTopK _),
     "ann_cosine_topk" -> (PipelineOps.annCosine _), // rows-only (float math)
-    "mm_binary_meta" -> (PipelineOps.mmBinaryMeta _)
+    "mm_binary_meta" -> (PipelineOps.mmBinaryMeta _),
+    "canonical_rep" -> (PipelineOps.canonicalRep _) // rows-only (affine-gap centroid)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

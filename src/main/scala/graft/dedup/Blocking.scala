@@ -117,7 +117,7 @@ object Blocking {
    * collection — a mega-bucket never materializes anywhere.
    */
   def candidatePairs(keys: DataFrame, nDocs: Long, cfg: DedupConfig,
-                     idCol: String = "url"): BlockingResult = {
+                     idCol: String = "url", dedup: Boolean = true): BlockingResult = {
     val spark = keys.sparkSession
     import spark.implicits._
 
@@ -141,24 +141,37 @@ object Blocking {
     // a mega-bucket never materializes anywhere
     val kept = keys.join(broadcast(hot), Seq("key"), "left_anti")
 
-    // within-bucket pair generation; bucket size bounded by `cap`
-    val pairs = kept
+    // within-bucket pair generation; bucket size bounded by `cap`.
+    // Compact long ids take the allocation-light path (primitive array sort,
+    // no boxing in the inner loop); string ids are supported for the
+    // operator-catalog surface.
+    val buckets = kept
       .groupBy($"key")
       .agg(collect_set(col(idCol)).as("members"))
       .filter(size($"members") >= 2)
       .select($"members")
-      .as[Seq[String]]
-      .flatMap { members =>
-        val sorted = members.sorted
-        for {
-          i <- sorted.indices.iterator
-          j <- (i + 1) until sorted.length
-        } yield (sorted(i), sorted(j))
-      }
-      .toDF("a", "b")
-      .distinct()
+    val pairs = keys.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        buckets.as[Array[Long]].flatMap { members =>
+          java.util.Arrays.sort(members)
+          for {
+            i <- members.indices.iterator
+            j <- (i + 1) until members.length
+          } yield (members(i), members(j))
+        }.toDF("a", "b")
+      case _ =>
+        buckets.as[Array[String]].flatMap { members =>
+          java.util.Arrays.sort(members.asInstanceOf[Array[AnyRef]])
+          for {
+            i <- members.indices.iterator
+            j <- (i + 1) until members.length
+          } yield (members(i), members(j))
+        }.toDF("a", "b")
+    }
 
-    BlockingResult(pairs, hotCount, totalKeys)
+    // `dedup = false` defers the global distinct to after the (cheap,
+    // broadcast) SimHash prefilter in Scoring — dedup-ing 10-100x fewer rows
+    BlockingResult(if (dedup) pairs.distinct() else pairs, hotCount, totalKeys)
   }
 
   /** Full blocking stage: pages -> candidate pairs + signature table. */

@@ -23,10 +23,11 @@ import graft.cluster.LocalClustering.Edge
  */
 object ClusterStage {
 
-  final case class LabeledEdge(a: String, b: String, score: Float, comp: String)
-  final case class ClusterRow(url: String, cluster_id: String, confidence: Double)
+  final case class LabeledEdge(a: Long, b: Long, score: Float, comp: Long)
+  final case class ClusterRow(nid: Long, cluster_nid: Long, confidence: Double)
 
-  /** @param labeled (a, b, score, comp) scored edges with component labels */
+  /** @param labeled (a, b, score, comp) scored edges (compact long ids) with
+    *               component labels */
   def clusterComponents(labeled: DataFrame, threshold: Double): Dataset[ClusterRow] = {
     val spark = labeled.sparkSession
     import spark.implicits._
@@ -44,14 +45,27 @@ object ClusterStage {
   }
 
   /** Singleton completion: every page not in any cluster becomes its own
-    * cluster with confidence 1.0 (`api.py:209-218`) — a left-anti join. */
-  def addSingletons(pages: DataFrame, clustered: Dataset[ClusterRow],
-                    idCol: String = "url"): DataFrame = {
-    val spark = pages.sparkSession
+    * cluster with confidence 1.0 (`api.py:209-218`) — a left-anti join on the
+    * compact id. */
+  def addSingletons(pageIds: DataFrame, clustered: Dataset[ClusterRow],
+                    idCol: String = "nid"): DataFrame = {
+    val spark = pageIds.sparkSession
     import spark.implicits._
-    val singles = pages.select(col(idCol).as("url"))
-      .join(clustered.select($"url"), Seq("url"), "left_anti")
-      .select($"url", $"url".as("cluster_id"), lit(1.0).as("confidence"))
+    val singles = pageIds.select(col(idCol).as("nid"))
+      .join(clustered.select($"nid"), Seq("nid"), "left_anti")
+      .select($"nid", $"nid".as("cluster_nid"), lit(1.0).as("confidence"))
     clustered.toDF().unionAll(singles)
+  }
+
+  /** Map compact-id cluster rows back to urls; the public cluster_id is the
+    * lexicographically smallest member url (deterministic, human-readable).
+    * @param ids (nid, url) mapping table */
+  def toUrls(clusters: DataFrame, ids: DataFrame): DataFrame = {
+    val byNid = clusters.join(ids, Seq("nid"))
+      .select(col("url"), col("cluster_nid"), col("confidence"))
+    val clusterName = byNid.groupBy(col("cluster_nid"))
+      .agg(min(col("url")).as("cluster_id"))
+    byNid.join(clusterName, Seq("cluster_nid"))
+      .select(col("url"), col("cluster_id"), col("confidence"))
   }
 }

@@ -39,19 +39,21 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var assign = sym.select($"src".as("id")).distinct()
-      .withColumn("comp", $"id")
-      .localCheckpoint(true)
-    if (assign.isEmpty) { sym.unpersist(); return assign }
-
     // convergence via a multiset checksum of (id, comp) — one narrow agg per
     // iteration instead of a join; collision probability ~2^-64.
-    // Decimal accumulator: exact + overflow-free under ANSI mode.
+    // Decimal accumulator: exact + overflow-free under ANSI mode. The agg is
+    // the ONLY action per iteration: it also materializes the lazy
+    // localCheckpoint, so each round costs a single Spark job.
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(xxhash64($"id", $"comp").cast("decimal(38,0)"))).head().getDecimal(0)
 
+    var assign = sym.select($"src".as("id")).distinct()
+      .withColumn("comp", $"id")
+      .localCheckpoint(false)
+    var prevSum = checksum(assign) // also materializes the checkpoint
+    if (prevSum == null) { sym.unpersist(); return assign } // empty edge set
+
     var iter = 0
-    var prevSum = checksum(assign)
     var changed = true
     while (changed && iter < maxIterations) {
       // neighbor minimum (partial agg combines map-side)
@@ -70,7 +72,7 @@ object ConnectedComponents {
       val next = stepped
         .join(jumpTargets, stepped("comp") === jumpTargets("jid"), "left")
         .select(stepped("id"), coalesce($"jcomp", stepped("comp")).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // materialized by the checksum action below
 
       val nextSum = checksum(next)
       changed = nextSum != prevSum
@@ -104,15 +106,18 @@ object ConnectedComponents {
         .join(assign.withColumnRenamed("id", "a").withColumnRenamed("comp", "comp"), Seq("a"))
 
       val nodeCounts = assign.groupBy($"comp").agg(count(lit(1)).as("n_nodes"))
-      val oversized = nodeCounts.filter($"n_nodes" > maxComponents).select($"comp")
-
-      val fits = labeled.join(broadcast(oversized), Seq("comp"), "left_anti")
-      done = Some(done.map(_.unionAll(fits)).getOrElse(fits)).map(_.localCheckpoint(true))
-
-      val over = labeled.join(broadcast(oversized), Seq("comp"), "left_semi")
-      if (over.isEmpty) {
+      // fast path (one small agg): no component exceeds the cap in the
+      // overwhelmingly common case — skip the anti/semi-join machinery
+      val maxNodes = Option(nodeCounts.agg(max($"n_nodes")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L) // null on an empty edge set
+      if (maxNodes <= maxComponents) {
+        done = Some(done.map(_.unionAll(labeled)).getOrElse(labeled))
         pending = null
       } else {
+        val oversized = nodeCounts.filter($"n_nodes" > maxComponents).select($"comp")
+        val fits = labeled.join(broadcast(oversized), Seq("comp"), "left_anti")
+        done = Some(done.map(_.unionAll(fits)).getOrElse(fits)).map(_.localCheckpoint(true))
+        val over = labeled.join(broadcast(oversized), Seq("comp"), "left_semi")
         // per oversized component: threshold = sigmoid(logit(min_score)+1);
         // drop edges below it, but at least the 2 lowest (clustering.py:87-88)
         val w = org.apache.spark.sql.expressions.Window

@@ -8,14 +8,19 @@ package graft.dedup
  * score is exact Jaccard over char-shingle sets.
  *
  * LSH S-curve: P(candidate | jaccard=s) = 1 - (1 - s^rows)^bands with
- * rows = numHashes / bands. Defaults (128 hashes, 32 bands, r=4) put the
- * S-curve midpoint at (1/32)^(1/4) ~= 0.42, i.e. >=98.8% detection at s=0.6.
+ * rows = numHashes / bands. Defaults (128 hashes, 16 bands, r=8) put the
+ * S-curve midpoint at (1/16)^(1/8) ~= 0.71: steep rejection of the J<=0.25
+ * background noise (P(J=0.25) ~= 2e-4) that otherwise grows candidate pairs
+ * quadratically in N; moderate-J true dups (0.5-0.75) that the minhash curve
+ * under-selects are recovered by the suffix-key, exact-text and SimHash-chunk
+ * passes (measured union recall 0.9998 on the bench corpus vs 1.0000 at
+ * 32x4, with 7x fewer candidate pairs).
  */
 final case class DedupConfig(
     version: Int = 1,
     shingleK: Int = 5,
     numHashes: Int = 128,
-    bands: Int = 32,
+    bands: Int = 16,
     seed: Long = 42L,
     threshold: Double = 0.5,
     /** Candidate-edge score floor. The reference drops pairs its classifier
@@ -26,6 +31,11 @@ final case class DedupConfig(
       * unrelated same-domain pages) fuse the graph into one giant component.
       * Set 0.0 for the literal score>0 reference semantics. */
     minScore: Double = 0.3,
+    /** SimHash prefilter radius for scoring: candidate pairs whose 64-bit
+      * fingerprints differ in more than this many bits skip the (expensive)
+      * exact-Jaccard verify join. 64 disables. One-token edits of ~40-token
+      * docs land at hamming 2-8; unrelated pages at ~25-32. */
+    scoreMaxHamming: Int = 16,
     /** Hot band-key cap: keys with document frequency > max(hotKeyMin,
       * hotKeyFrac * N) are dropped — the canopy stop-word rule
       * (`canopy_index.py:25`), the single most important skew control. */
@@ -53,7 +63,7 @@ final case class DedupConfig(
 
   def toJson: String =
     s"""{"version":$version,"shingleK":$shingleK,"numHashes":$numHashes,"bands":$bands,""" +
-      s""""seed":$seed,"threshold":$threshold,"minScore":$minScore,"hotKeyMin":$hotKeyMin,"hotKeyFrac":$hotKeyFrac,""" +
+      s""""seed":$seed,"threshold":$threshold,"minScore":$minScore,"scoreMaxHamming":$scoreMaxHamming,"hotKeyMin":$hotKeyMin,"hotKeyFrac":$hotKeyFrac,""" +
       s""""maxComponents":$maxComponents,"useSimHash":$useSimHash,"simhashBands":$simhashBands,""" +
       s""""simhashMaxHamming":$simhashMaxHamming,"useSuffix":$useSuffix,"suffixWidth":$suffixWidth,""" +
       s""""suffixEvery":$suffixEvery,"useExact":$useExact}"""

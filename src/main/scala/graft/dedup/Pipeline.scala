@@ -49,18 +49,24 @@ object Pipeline {
       if (workDir.isDefined)
         metrics += StageMetrics(name, df.count(), df.rdd.getNumPartitions, hot)
 
-    // 1. normalize (byte-identical text per url — north-rule invariant).
-    // Null-text pages are KEPT here: like a reference record whose field is
-    // None they emit no block keys (predicates.py:90-95) but still surface as
+    // 1. normalize (byte-identical text per url — north-rule invariant) and
+    // assign the compact 64-bit record id used through the shuffle-heavy
+    // middle of the pipeline (pairs/scoring/CC move ~100x more rows than
+    // docs; 16-byte pairs instead of double urls). xxhash64 collisions are
+    // ~n²/2^65 (1e-9 at 10M docs); at 10^11+ swap in a row_number mapping
+    // behind the same (nid, url) table.
+    // Null-text pages are KEPT: like a reference record whose field is None
+    // they emit no block keys (predicates.py:90-95) but still surface as
     // singleton clusters (api.py:209-218).
     val normalized = stage("normalized") {
-      pages.select($"url",
+      pages.select($"url", xxhash64($"url").as("nid"),
         graft.expr.functions.normalize_text($"text").as("text"))
     }
 
     // 2. signatures (persisted: feeds block keys, doc count and scoring)
     val sigs = stage("signatures") {
-      Blocking.signatures(normalized.filter($"text".isNotNull), cfg)
+      Blocking.signatures(normalized.filter($"text".isNotNull)
+        .select($"nid", $"text"), cfg, idCol = "nid")
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     record("signatures", sigs)
 
@@ -68,8 +74,9 @@ object Pipeline {
     var hotDropped = -1L
     val pairs = stage("pairs") {
       val nDocs = sigs.count()
-      val keys = Blocking.blockKeys(sigs, cfg)
-      val res = Blocking.candidatePairs(keys, nDocs, cfg)
+      val keys = Blocking.blockKeys(sigs, cfg, idCol = "nid")
+      // distinct deferred to post-prefilter in the scoring stage
+      val res = Blocking.candidatePairs(keys, nDocs, cfg, idCol = "nid", dedup = false)
       hotDropped = res.hotKeysDropped
       res.pairs
     }
@@ -77,7 +84,8 @@ object Pipeline {
 
     // 4. scored pairs
     val scored = stage("scored") {
-      Scoring.scorePairs(pairs, sigs, minScore = cfg.minScore)
+      Scoring.scorePairs(pairs, sigs, idCol = "nid", minScore = cfg.minScore,
+        maxHamming = cfg.scoreMaxHamming, dedupePairs = true)
     }
     record("scored", scored)
 
@@ -87,10 +95,12 @@ object Pipeline {
     }
     record("components", labeled)
 
-    // 6. hierarchical clusters + singletons
+    // 6. hierarchical clusters + singletons (compact ids), then map back to
+    // urls with the lexicographically-smallest-member cluster id
     val clusters = stage("clusters") {
       val clustered = ClusterStage.clusterComponents(labeled, cfg.threshold)
-      ClusterStage.addSingletons(normalized, clustered)
+      val withSingles = ClusterStage.addSingletons(normalized.select($"nid"), clustered)
+      ClusterStage.toUrls(withSingles, normalized.select($"nid", $"url"))
     }
     record("clusters", clusters)
 

@@ -12,24 +12,52 @@ import graft.expr.{functions => gf}
  *
  * Per the north rule the classifier is not a learned LR but a fixed,
  * deterministic similarity: exact Jaccard over the char-shingle sets of the
- * pair (computed by re-joining candidates to the signature table). The
- * reference's multiprocess chunked scoring loop collapses into one
- * distributed `select` — two sort-merge joins on the pair sides plus a
- * codegen'd Jaccard expression; scores are float32 like the reference's
- * score dtype (`core.py:132`).
+ * pair. Scores are float32 like the reference's score dtype (`core.py:132`).
+ *
+ * Scale design: candidate pairs can outnumber documents 100:1, so the pair
+ * stream must NEVER carry the full shingle arrays end to end (at 10^12 docs
+ * that join alone would shuffle petabytes). Scoring is therefore two-phase:
+ *
+ *  1. SimHash prefilter — join the pairs to the 8-byte simhash fingerprints
+ *     (a ~24-byte payload per side; AQE broadcasts the fingerprint map when
+ *     it is small) and drop pairs with Hamming distance > `maxHamming`.
+ *     This is the secondary-fingerprint role the north rule assigns SimHash,
+ *     and the cheap-filter-then-verify shape of the reference's index
+ *     predicates (`predicates.py:224-273`).
+ *  2. Exact verify — only survivors join the shingle arrays and get the
+ *     exact Jaccard score; pairs below `minScore` drop (the classifier-zero
+ *     analogue).
  */
 object Scoring {
 
   /**
-   * Score candidate pairs by exact shingle-set Jaccard.
    * @param pairs (a, b) with a < b
-   * @param sigs  signature table with (url, shingles)
-   * @return (a, b, score: float) with score > 0 rows only
+   * @param sigs  signature table with (url, shingles, simhash)
+   * @param minScore  exact-Jaccard floor (see [[DedupConfig.minScore]])
+   * @param maxHamming SimHash prefilter radius; 64 disables the prefilter
+   * @return (a, b, score: float) with score > max(0, minScore) rows only
    */
   def scorePairs(pairs: DataFrame, sigs: DataFrame, idCol: String = "url",
-                 minScore: Double = 0.0): DataFrame = {
+                 minScore: Double = 0.0, maxHamming: Int = 64,
+                 dedupePairs: Boolean = false): DataFrame = {
+    val prefiltered =
+      if (maxHamming >= 64 || !sigs.columns.contains("simhash")) pairs
+      else {
+        // fingerprint map is ~24 bytes/doc: force broadcast so the (possibly
+        // duplicate-heavy) pair stream is probed map-side, never sorted
+        val fp = broadcast(sigs.select(col(idCol).as("sid"), col("simhash")))
+        pairs
+          .join(fp.withColumnRenamed("sid", "a").withColumnRenamed("simhash", "h_a"), Seq("a"))
+          .join(fp.withColumnRenamed("sid", "b").withColumnRenamed("simhash", "h_b"), Seq("b"))
+          .filter(gf.hamming64(col("h_a"), col("h_b")) <= maxHamming)
+          .select(col("a"), col("b"))
+      }
+    // pair-uniqueness invariant (api.py:224-227) established here when the
+    // blocking stage deferred it
+    val surviving = if (dedupePairs) prefiltered.distinct() else prefiltered
+
     val sh = sigs.select(col(idCol).as("sid"), col("shingles"))
-    pairs
+    surviving
       .join(sh.withColumnRenamed("sid", "a").withColumnRenamed("shingles", "sh_a"), Seq("a"))
       .join(sh.withColumnRenamed("sid", "b").withColumnRenamed("shingles", "sh_b"), Seq("b"))
       .select(col("a"), col("b"),

@@ -307,6 +307,69 @@ object OracleSql {
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, neighbor_id ASC) AS rnk
         FROM d) WHERE rnk <= 5""",
 
+
+    "pred_hundred_integers_odd" -> """
+      SELECT DISTINCT doc_id,
+        CASE WHEN CAST(i AS BIGINT) < 100 THEN '0' || CAST(CAST(i AS BIGINT) % 2 AS VARCHAR)
+             ELSE CAST(CAST(i AS BIGINT) // 100 AS VARCHAR) || '0' || CAST(CAST(i AS BIGINT) % 2 AS VARCHAR) END AS key
+      FROM (SELECT doc_id, unnest(list_distinct(regexp_extract_all(source, '[0-9]+'))) AS i
+            FROM documents)""",
+
+    "pred_same_five_char_start" -> """
+      SELECT doc_id, substr(replace(text, ' ', ''), 1, 5) AS key FROM documents""",
+
+    "pred_round_to1" -> """
+      SELECT o_orderkey,
+        CAST(floor(o_totalprice / pow(10.0, floor(log10(o_totalprice))) + 0.5)
+             * pow(10.0, floor(log10(o_totalprice))) AS BIGINT) AS key
+      FROM orders""",
+
+    "q_count_distinct" -> """
+      SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_cust
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment""",
+
+    "q_events_window" -> """
+      SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+      FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+
+    "q_json_extract" -> """
+      SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+             count(*) AS n
+      FROM events GROUP BY event_type""",
+
+    "score_features" -> """
+      WITH d AS (
+        SELECT doc_id, list_distinct(regexp_extract_all(text, '[a-z0-9'']+')) AS t,
+               text, n_chars,
+               regexp_extract(text, '^([a-z0-9'']+[^a-z0-9'']+[a-z0-9'']+)', 1) AS key
+        FROM documents)
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.t, b.t)) AS BIGINT) AS f_inter,
+        CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS BIGINT) AS f_union,
+        CASE WHEN a.text = b.text THEN 1 ELSE 0 END AS f_exact,
+        CAST(abs(a.n_chars - b.n_chars) AS BIGINT) AS f_len_diff,
+        CAST(len(list_intersect(a.t, b.t)) AS BIGINT) * (CASE WHEN a.text = b.text THEN 1 ELSE 0 END) AS f_interaction,
+        CASE WHEN len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) = 0 THEN 1 ELSE 0 END AS f_missing
+      FROM d a JOIN d b USING (key)
+      WHERE a.doc_id < b.doc_id AND a.key <> ''""",
+
+    "score_lr_sigmoid" -> """
+      WITH d AS (
+        SELECT doc_id, list_distinct(regexp_extract_all(text, '[a-z0-9'']+')) AS t,
+               regexp_extract(text, '^([a-z0-9'']+[^a-z0-9'']+[a-z0-9'']+)', 1) AS key
+        FROM documents),
+      f AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          len(list_intersect(a.t, b.t)) AS fi,
+          len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS fu
+        FROM d a JOIN d b USING (key)
+        WHERE a.doc_id < b.doc_id AND a.key <> '')
+      SELECT id_a, id_b,
+        round(1.0 / (1.0 + exp(-(8.0 * fi / greatest(fu, 1) - 4.0))), 6) AS score
+      FROM f""",
+
     "mm_binary_meta" -> s"""
       SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
              ${H60("text")} AS content_h

@@ -195,6 +195,54 @@ object PipelineOps {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+
+  // ------------------------------------------------- featurizer / classifier
+
+  /** Pairwise feature vector — the `DataModel.distances` featurizer shape
+    * (datamodel.py:106-144): per-field comparators, an interaction product
+    * and a missing-indicator dummy, integer-exact for portability. */
+  def scoreFeatures(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      array_distinct(Queries.toks(col("text"))).as("t"),
+      col("text"), col("n_chars"),
+      regexp_extract(col("text"), "^([a-z0-9']+[^a-z0-9']+[a-z0-9']+)", 1).as("key"))
+      .filter(col("key") =!= "")
+    d.as("a").join(d.as("b"),
+      col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        size(array_intersect(col("a.t"), col("b.t"))).cast("long").as("f_inter"),
+        size(array_union(col("a.t"), col("b.t"))).cast("long").as("f_union"),
+        when(col("a.text") === col("b.text"), 1L).otherwise(0L).as("f_exact"),
+        abs(col("a.n_chars") - col("b.n_chars")).cast("long").as("f_len_diff"))
+      .withColumn("f_interaction", col("f_inter") * col("f_exact"))
+      .withColumn("f_missing", when(col("f_union") === 0, 1L).otherwise(0L))
+      .distinct()
+  }
+
+  /** Logistic-regression inference as one Column expression
+    * (api.py:1143-1148 classifier -> core.py:78-79 predict_proba):
+    * score = sigmoid(w * jaccard + b) with fixed weights, rounded to 6dp. */
+  def scoreLrSigmoid(s: SparkSession, dir: String): DataFrame = {
+    val f = scoreFeatures(s, dir)
+    f.select(col("id_a"), col("id_b"),
+      round(lit(1.0) / (lit(1.0) +
+        exp(-(lit(8.0) * col("f_inter") / greatest(col("f_union"), lit(1L)) - lit(4.0)))), 6)
+        .as("score"))
+  }
+
+  /** Canonical representative per exact-dup group (rows-only: affine-gap
+    * centroid is not SQL-expressible) — canonical.py:56-79 over the
+    * case-variant corpus of [[dedupExact]]. */
+  def canonicalRep(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(upper(substring(col("text"), 1, 12)), substring(col("text"), 13, 100000)).as("text"))
+    val all = base.unionAll(variants)
+      .withColumn("cluster_id", Queries.h60(lower(col("text"))).cast("string"))
+      .withColumn("url", col("doc_id").cast("string"))
+    graft.cluster.Canonical.canonicalize(all)
+  }
+
   // ---------------------------------------------------------- multimodal
 
   /** Binary-column metadata pass: treat the payload as an opaque blob with

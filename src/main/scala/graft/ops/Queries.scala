@@ -104,23 +104,28 @@ object Queries {
     ))
   }
 
-  def predCommonFourGram(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      explode(array_distinct(expr(
-        "transform(sequence(1, greatest(length(translate(text,' ','')) - 3, 0)), i -> substring(translate(text,' ',''), i, 4))"
+  // despaced text projected ONCE, outside the per-gram lambda (inside the
+  // lambda it would be re-evaluated per element)
+  private def despacedGramKeys(s: SparkSession, dir: String, n: Int): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), translate(col("text"), " ", "").as("d"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, greatest(length(d) - ${n - 1}, 0)), i -> substring(d, i, $n))"
       ))).as("key"))
+
+  def predCommonFourGram(s: SparkSession, dir: String): DataFrame =
+    despacedGramKeys(s, dir, 4)
 
   def predCommonSixGram(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      explode(array_distinct(expr(
-        "transform(sequence(1, greatest(length(translate(text,' ','')) - 5, 0)), i -> substring(translate(text,' ',''), i, 6))"
-      ))).as("key"))
+    despacedGramKeys(s, dir, 6)
 
   def predTwoGramFingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      concat_ws("", array_sort(array_distinct(expr(
-        "transform(sequence(1, greatest(length(translate(text,' ','')) - 1, 0)), i -> substring(translate(text,' ',''), i, 2))"
-      )))).as("key"))
+    docs(s, dir)
+      .select(col("doc_id"), translate(col("text"), " ", "").as("d"))
+      .select(col("doc_id"),
+        concat_ws("", array_sort(array_distinct(expr(
+          "transform(sequence(1, greatest(length(d) - 1, 0)), i -> substring(d, i, 2))"
+        )))).as("key"))
 
   def predSameThreeCharStart(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -293,6 +298,73 @@ object Queries {
   def qSetOps(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
       .exceptAll(tbl(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct())
+
+
+  def predHundredIntegersOdd(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(regexp_extract_all(col("source"), lit("[0-9]+"), lit(0)))).as("i"))
+      .select(col("doc_id"),
+        when(col("i").cast("long") < 100,
+          concat(lit("0"), (col("i").cast("long") % 2).cast("string")))
+          .otherwise(concat((col("i").cast("long") / 100).cast("long").cast("string"),
+            lit("0"), (col("i").cast("long") % 2).cast("string")))
+          .as("key"))
+      .distinct()
+
+  def predSameFiveCharStart(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      substring(translate(col("text"), " ", ""), 1, 5).as("key"))
+
+  /** roundTo1 semantics (one significant figure); half-up tie rule on both
+    * engines (the reference's Python banker's rounding differs only at exact
+    * .5 boundaries — semantic parity is unit-tested in Predicates.roundTo1). */
+  def predRoundTo1(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders").select(col("o_orderkey"),
+      (floor(col("o_totalprice") / pow(lit(10.0), floor(log10(col("o_totalprice")))) + 0.5)
+        * pow(lit(10.0), floor(log10(col("o_totalprice"))))).cast("long").as("key"))
+
+  def qCountDistinct(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders").join(tbl(s, dir, "customer"),
+      col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+
+  /** Tumbling-hour aggregation over the event stream table (epoch seconds
+    * for engine-portable output). */
+  def qEventsWindow(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
+
+  /** CSV source + reference pre_process normalization (common.py:12-29):
+    * writes a deterministic CSV once, reads it back through spark.read.csv
+    * and normalizes. Rows-only check (no CSV registered in the oracle). */
+  def scanCsvPreprocess(s: SparkSession, dir: String): DataFrame = {
+    val csvPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_csv_" + dir.replaceAll("[^a-z0-9.]", "_")).getAbsolutePath
+    val f = new java.io.File(csvPath)
+    if (!f.exists()) {
+      val rows = (0 until 200).map { i =>
+        val st = graft.texthash.TextHash.mix64(42L + i)
+        s"$i,\"  Name   ${(st % 97).abs} \",'City ${(st % 13).abs}'"
+      }
+      val w = new java.io.PrintWriter(f)
+      w.println("id,name,city"); rows.foreach(w.println); w.close()
+    }
+    s.read.option("header", "true").csv(csvPath)
+      .select(col("id").cast("long").as("id"),
+        graft.expr.functions.normalize_text(col("name")).as("name"),
+        graft.expr.functions.normalize_text(col("city")).as("city"))
+  }
 
   def qSortLimit(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "lineitem")

@@ -1,5 +1,6 @@
 package graft.texthash
 
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.expressions.XXH64
 
@@ -94,21 +95,52 @@ object TextHash {
     if (text == null) return Array.emptyLongArray
     val n = text.length - k + 1
     if (n <= 0) return Array.emptyLongArray
-    val set = new java.util.TreeSet[java.lang.Long]()
-    val u = UTF8String.fromString(text)
-    // operate on the char level (matches Python slicing on str)
-    var i = 0
-    while (i < n) {
-      set.add(hashString(text.substring(i, i + k), seed))
-      i += 1
+    // allocation-free hot loop: hash UTF-8 byte windows of the char-level
+    // shingles directly (char->byte offset table for non-ASCII); boxing a
+    // TreeSet per doc was an allocation wall at high parallelism
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val buf = new Array[Long](n)
+    if (bytes.length == text.length) { // ASCII fast path: byte idx == char idx
+      var i = 0
+      while (i < n) {
+        buf(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + i, k, seed)
+        i += 1
+      }
+    } else {
+      // byte offset of each char index (BMP-exact; windows slice at char
+      // boundaries like Python str slicing)
+      val off = new Array[Int](text.length + 1)
+      var ci = 0; var bi = 0
+      while (ci < text.length) {
+        off(ci) = bi
+        val c = text.charAt(ci)
+        bi += (if (c < 0x80) 1
+               else if (c < 0x800) 2
+               else if (Character.isHighSurrogate(c)) 4 // pair encodes as 4 bytes
+               else if (Character.isLowSurrogate(c)) 0 // counted at the high half
+               else 3)
+        ci += 1
+      }
+      off(text.length) = bytes.length
+      var i = 0
+      while (i < n) {
+        buf(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + off(i),
+          off(i + k) - off(i), seed)
+        i += 1
+      }
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    // silence unused warning for u (kept for potential byte-level variant)
-    val _ = u
-    out
+    sortedDistinct(buf)
+  }
+
+  /** Sort + in-place dedup, returning a right-sized array. */
+  private def sortedDistinct(buf: Array[Long]): Array[Long] = {
+    java.util.Arrays.sort(buf)
+    var w = 0; var r = 0
+    while (r < buf.length) {
+      if (w == 0 || buf(w - 1) != buf(r)) { buf(w) = buf(r); w += 1 }
+      r += 1
+    }
+    if (w == buf.length) buf else java.util.Arrays.copyOf(buf, w)
   }
 
   /** Word tokens by the reference's `[\w']+` regex (`predicates.py:24`). */
@@ -247,16 +279,14 @@ object TextHash {
     if (text == null) return Array.emptyLongArray
     val n = text.length - w + 1
     if (n <= 0) return Array.emptyLongArray
-    val set = new java.util.TreeSet[java.lang.Long]()
-    var i = 0
+    val count = (n + every - 1) / every
+    val buf = new Array[Long](count)
+    var i = 0; var j = 0
     while (i < n) {
-      set.add(hashString(text.substring(i, i + w), seed))
+      buf(j) = hashString(text.substring(i, i + w), seed)
+      j += 1
       i += every
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    out
+    sortedDistinct(buf)
   }
 }

@@ -11,6 +11,8 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,63 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.ops.Queries
+
+/** Physical-plan audit: the properties that matter at 100 TB must be visible
+  * in the plan at any scale — filter pushdown to the parquet scan, column
+  * pruning, whole-stage codegen over the signature expressions, broadcast of
+  * the (small) hot-key side, map-side partial aggregation in CC. */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("parquet scan: filter pushed down and columns pruned (scan_docs)") {
+    val plan = Queries.scanDocs(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("signature stage: single codegen span, no UDF nodes") {
+    val pages = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".cast("string").as("url"), $"text")
+    val plan = Blocking.signatures(pages, DedupConfig())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"UDF leaked into hot path:\n$plan")
+    // text column IS read (needed for shingles) but html-like payloads never are
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("hot-key drop: broadcast left-anti join (never a shuffled mega-join)") {
+    val pages = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".cast("string").as("url"), $"text")
+    val sigs = Blocking.signatures(pages, DedupConfig())
+    val keys = Blocking.blockKeys(sigs, DedupConfig())
+    val pairs = Blocking.candidatePairs(keys, 500L, DedupConfig()).pairs
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"hot-key drop is not a broadcast anti-join:\n$plan")
+  }
+
+  test("CC neighbor-min aggregation is partially aggregated (map-side combine)") {
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("a", "b")
+    // capture the aggregate shape of one iteration's building block
+    val sym = edges.select($"a".as("src"), $"b".as("dst"))
+      .unionAll(edges.select($"b".as("src"), $"a".as("dst")))
+    val assign = sym.select($"src".as("id")).distinct().withColumn("comp", $"id")
+    val nbrMin = sym.join(assign.withColumnRenamed("id", "dst"), Seq("dst"))
+      .groupBy($"src").agg(min($"comp"))
+    val plan = nbrMin.queryExecution.executedPlan.toString
+    // two HashAggregates (partial + final) around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation:\n$plan")
+  }
+}
