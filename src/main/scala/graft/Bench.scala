@@ -59,9 +59,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""docs":$nDocs,"docs_per_sec":${f"$docsPerSec%.1f"},"sf":"$sfDir"}""")
+        s""""docs":$nDocs,"docs_per_sec":${f"$docsPerSec%.1f"},"sf":"$sfDir"}"""
+    // the JSON must survive sbt's log prefixes: write it to a bare file
+    // (env-overridable path) AND print it as its own raw stdout line
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }

@@ -28,6 +28,8 @@ import org.apache.spark.storage.StorageLevel
  */
 object ConnectedComponents {
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** @param edges (a, b) string ids; returns (id, comp) for every endpoint. */
   def run(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
     val spark = edges.sparkSession
@@ -80,6 +82,9 @@ object ConnectedComponents {
       assign = next
       iter += 1
     }
+    if (changed)
+      logger.warn(s"connected components did NOT converge within $maxIterations " +
+        "iterations; returning possibly non-converged labels")
     sym.unpersist()
     assign
   }
@@ -104,6 +109,7 @@ object ConnectedComponents {
       val assign = run(pending)
       val labeled = pending
         .join(assign.withColumnRenamed("id", "a").withColumnRenamed("comp", "comp"), Seq("a"))
+        .select($"a", $"b", $"score", $"comp")
 
       val nodeCounts = assign.groupBy($"comp").agg(count(lit(1)).as("n_nodes"))
       // fast path (one small agg): no component exceeds the cap in the
@@ -111,32 +117,62 @@ object ConnectedComponents {
       val maxNodes = Option(nodeCounts.agg(max($"n_nodes")).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L) // null on an empty edge set
       if (maxNodes <= maxComponents) {
-        done = Some(done.map(_.unionAll(labeled)).getOrElse(labeled))
+        done = Some(done.map(_.unionByName(labeled)).getOrElse(labeled))
         pending = null
       } else {
         val oversized = nodeCounts.filter($"n_nodes" > maxComponents).select($"comp")
-        val fits = labeled.join(broadcast(oversized), Seq("comp"), "left_anti")
-        done = Some(done.map(_.unionAll(fits)).getOrElse(fits)).map(_.localCheckpoint(true))
+        val fits = labeled.join(broadcast(oversized), Seq("comp"), "left_anti").select($"a", $"b", $"score", $"comp")
+        done = Some(done.map(_.unionByName(fits)).getOrElse(fits)).map(_.localCheckpoint(true))
         val over = labeled.join(broadcast(oversized), Seq("comp"), "left_semi")
-        // per oversized component: threshold = sigmoid(logit(min_score)+1);
-        // drop edges below it, but at least the 2 lowest (clustering.py:87-88)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"comp").orderBy($"score".asc, $"a".asc, $"b".asc)
-        val withStats = over
-          .withColumn("rn", row_number().over(w))
-          .withColumn("min_score",
-            min($"score").over(org.apache.spark.sql.expressions.Window.partitionBy($"comp")))
-          .withColumn("thr",
-            lit(1.0) / (lit(1.0) + exp(-(log($"min_score") - log(lit(1.0) - $"min_score")) - lit(1.0))))
-          .withColumn("below", count(when($"score" < $"thr", 1))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy($"comp")))
-        pending = withStats
-          .filter($"rn" > greatest($"below", lit(2L)))
+        // Per oversized component: threshold = sigmoid(logit(min_score)+1);
+        // drop edges below it, but at least the 2 lowest (clustering.py:87-88).
+        // All per-comp statistics come from map-side-combinable groupBy aggs
+        // — NEVER a whole-component window, which would pull every edge of
+        // the (by definition oversized) component into a single task.
+        val thrPerComp = over.groupBy($"comp")
+          .agg(min($"score").as("min_score"))
+          .select($"comp",
+            (lit(1.0) / (lit(1.0) +
+              exp(-(log($"min_score") - log(lit(1.0) - $"min_score")) - lit(1.0)))).as("thr"))
+        // oversized comps are few (bounded by nEdges/maxComponents):
+        // broadcast their 16-byte stats rows
+        val withThr = over.join(broadcast(thrPerComp), Seq("comp"))
+        val belowPerComp = withThr.groupBy($"comp")
+          .agg(sum(when($"score" < $"thr", 1L).otherwise(0L)).as("below"))
+
+        // below >= 2: the `max(below, 2)` lowest-ranked edges are exactly
+        // the `score < thr` set (rank is by score asc) -> pure filter.
+        val manyBelow = belowPerComp.filter($"below" >= 2).select($"comp")
+        val keptByThr = withThr
+          .join(broadcast(manyBelow), Seq("comp"), "left_semi")
+          .filter($"score" >= $"thr")
           .select($"a", $"b", $"score")
-          .localCheckpoint(true)
+
+        // below < 2: drop exactly the 2 lowest by (score, a, b) — two
+        // bounded min(struct) aggregates instead of a rank window.
+        val fewBelow = belowPerComp.filter($"below" < 2).select($"comp")
+        val sub = withThr.join(broadcast(fewBelow), Seq("comp"), "left_semi")
+          .select($"comp", $"a", $"b", $"score")
+        val low1 = sub.groupBy($"comp")
+          .agg(min(struct($"score", $"a", $"b")).as("m1"))
+        val sansLow1 = sub.join(broadcast(low1), Seq("comp"))
+          .filter(struct($"score", $"a", $"b") =!= $"m1")
+        val low2 = sansLow1.groupBy($"comp")
+          .agg(min(struct($"score", $"a", $"b")).as("m2"))
+        val keptByRank = sansLow1.join(broadcast(low2), Seq("comp"))
+          .filter(struct($"score", $"a", $"b") =!= $"m2")
+          .select($"a", $"b", $"score")
+
+        pending = keptByThr.unionAll(keptByRank).localCheckpoint(true)
         if (pending.isEmpty) pending = null
       }
       rounds += 1
+    }
+    if (pending != null) {
+      val dropped = pending.count()
+      logger.warn(s"oversized-component refilter exhausted $rounds rounds with " +
+        s"$dropped edges still pending; those edges are dropped (their nodes " +
+        "resurface as singletons downstream)")
     }
     done.get
   }

@@ -43,9 +43,11 @@ object Scoring {
     val prefiltered =
       if (maxHamming >= 64 || !sigs.columns.contains("simhash")) pairs
       else {
-        // fingerprint map is ~24 bytes/doc: force broadcast so the (possibly
-        // duplicate-heavy) pair stream is probed map-side, never sorted
-        val fp = broadcast(sigs.select(col(idCol).as("sid"), col("simhash")))
+        // fingerprint map is ~24 bytes/doc but one row per DOCUMENT — at
+        // 10^12 docs it cannot go through the driver. No broadcast hint:
+        // AQE turns the join into a broadcast probe when the map is under
+        // the threshold and a shuffled hash/sort-merge join otherwise.
+        val fp = sigs.select(col(idCol).as("sid"), col("simhash"))
         pairs
           .join(fp.withColumnRenamed("sid", "a").withColumnRenamed("simhash", "h_a"), Seq("a"))
           .join(fp.withColumnRenamed("sid", "b").withColumnRenamed("simhash", "h_b"), Seq("b"))
