@@ -10,14 +10,15 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
 
-  // Heavy quadratic queries excluded from the bench set (the synthetic
-  // vocab-30 corpus makes token-set LSH near-quadratic by construction;
-  // correctness for those is covered by the sf0.01 oracle gate):
+  // dedup_minhash_lsh / dedup_ngram_jaccard are benchable since round 2:
+  // the band-key hot-key cap + simhash prefilter bound their join sizes
+  // even on the vocab-30 synthetic corpus.
   private val benchQueries = Seq(
     "q1_agg", "q_join_agg", "q_window_topn", "q_anti_join", "q_sort_limit",
     "pred_token_field", "pred_fingerprint", "pred_common_four_gram",
     "pairs_self_join", "score_jaccard_tokens", "cluster_cc",
     "dedup_exact", "dedup_minhash_sig", "dedup_simhash16",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
     "ann_l2_topk", "mm_binary_meta")
 

@@ -33,14 +33,29 @@ object OracleSql {
       min(CAST('0x' || substr(md5(tok || '#' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT)) AS mh
     FROM tj GROUP BY doc_id, j"""
 
+  // band keys with document frequency > 50 (PipelineOps.LshHotKeyCap) are
+  // dropped before the self-join — the canopy stop-word rule
   private val LSH_SQL = s"""
     WITH sig AS ($MINHASH_SIG_CTE),
     bk AS (
       SELECT doc_id, j // 4 AS band,
         string_agg(CAST(j AS VARCHAR) || ':' || CAST(mh AS VARCHAR), ',' ORDER BY j) AS bkey
-      FROM sig GROUP BY doc_id, j // 4)
+      FROM sig GROUP BY doc_id, j // 4),
+    kept AS (
+      SELECT bk.* FROM bk
+      JOIN (SELECT band, bkey FROM bk GROUP BY band, bkey HAVING count(*) <= 50) ok
+      USING (band, bkey))
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
+    FROM kept a JOIN kept b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
+
+  private val SIMHASH16_SQL = s"""
+    WITH tok16 AS (SELECT DISTINCT doc_id, unnest(list_distinct($TOKS)) AS tok FROM documents),
+    h16 AS (SELECT doc_id, ${H60("tok")} AS h FROM tok16),
+    bits16 AS (SELECT doc_id, b, ((h >> b) & 1) * 2 - 1 AS v
+             FROM h16, (SELECT unnest(generate_series(0, 15)) AS b)),
+    votes16 AS (SELECT doc_id, b, sum(v) AS vote FROM bits16 GROUP BY doc_id, b)
+    SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes16 GROUP BY doc_id"""
 
   val sql: Map[String, String] = Map(
     // ------------------------------------------------------------- scans
@@ -248,13 +263,20 @@ object OracleSql {
       SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id""",
 
+    // simhash16 prefilter (hamming <= 12, PipelineOps.NgramPrefilterHamming)
+    // before the full-gram-array verify join — same shape as the flagship
     "dedup_ngram_jaccard" -> s"""
       WITH grams AS (
         SELECT doc_id, list_distinct(
           list_transform(generate_series(1, greatest(len(t) - 2, 0)),
                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
-      pairs AS ($LSH_SQL)
+      lsh_pairs AS ($LSH_SQL),
+      fp AS ($SIMHASH16_SQL),
+      pairs AS (
+        SELECT p.id_a, p.id_b FROM lsh_pairs p
+        JOIN fp fa ON p.id_a = fa.doc_id JOIN fp fb ON p.id_b = fb.doc_id
+        WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 12)
       SELECT p.id_a, p.id_b,
         CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS inter_cnt,
         CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS BIGINT) AS union_cnt

@@ -50,16 +50,29 @@ object PipelineOps {
       .agg(min(col("h")).as("mh"))
   }
 
+  /** Band-key document-frequency cap for the catalog LSH self-join — the
+    * canopy stop-word rule (`canopy_index.py:25`) scaled to the oracle-SF
+    * corpus; shared verbatim by [[OracleSql.LSH_SQL]]. */
+  val LshHotKeyCap = 50L
+
   /** LSH band candidate pairs: 2 bands x 4 rows over the 8-hash signature;
     * docs sharing a full band become a pair (a < b, distinct) — the
-    * CompoundPredicate AND-construction (predicates.py:346-376). */
+    * CompoundPredicate AND-construction (predicates.py:346-376).
+    * Band keys with document frequency > [[LshHotKeyCap]] are dropped via a
+    * broadcast anti-join BEFORE the self-join (the same stop-word rule as the
+    * flagship [[graft.dedup.Blocking]]), so a boilerplate-heavy key can never
+    * make the join near-quadratic. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSignatures(s, dir)
       .withColumn("band", (col("j") / 4).cast("int"))
     val bandKey = sig.groupBy(col("doc_id"), col("band"))
       .agg(concat_ws(",", sort_array(collect_list(
         concat_ws(":", col("j").cast("string"), col("mh").cast("string"))))).as("bk"))
-    bandKey.as("a").join(bandKey.as("b"),
+    val hot = bandKey.groupBy(col("band"), col("bk"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > LshHotKeyCap)
+      .select(col("band"), col("bk"))
+    val kept = bandKey.join(broadcast(hot), Seq("band", "bk"), "left_anti")
+    kept.as("a").join(kept.as("b"),
       col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -87,15 +100,29 @@ object PipelineOps {
 
   // -------------------------------------------------- n-gram jaccard dedup
 
+  /** SimHash-prefilter Hamming radius for [[dedupNgramJaccard]] (16-bit
+    * portable simhash); shared verbatim by the DuckDB oracle. */
+  val NgramPrefilterHamming = 12
+
   /** Word-3-gram Jaccard (integer counts) for LSH candidate pairs —
-    * near-dup verification, commonThreeTokens analogue over pairs. */
+    * near-dup verification, commonThreeTokens analogue over pairs.
+    * Scale shape matches the flagship scoring stage (`dedup/Scoring.scala`):
+    * candidate pairs are first prefiltered on the 8-byte simhash16
+    * fingerprints (hamming <= [[NgramPrefilterHamming]]); only survivors
+    * join the full gram ARRAYS for the exact verify, so the wide-payload
+    * join never sees the raw candidate stream. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val grams = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(1, greatest(size(t) - 2, 0)), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
       )).as("g"))
+    val fp = simhash16(s, dir)
     val pairs = dedupMinhashLsh(s, dir)
+      .join(fp.select(col("doc_id").as("id_a"), col("simhash").as("h_a")), Seq("id_a"))
+      .join(fp.select(col("doc_id").as("id_b"), col("simhash").as("h_b")), Seq("id_b"))
+      .filter(graft.expr.functions.hamming64(col("h_a"), col("h_b")) <= NgramPrefilterHamming)
+      .select(col("id_a"), col("id_b"))
     pairs
       .join(grams.select(col("doc_id").as("id_a"), col("g").as("g_a")), Seq("id_a"))
       .join(grams.select(col("doc_id").as("id_b"), col("g").as("g_b")), Seq("id_b"))
