@@ -316,18 +316,36 @@ object OracleSql {
       SELECT doc_id, CAST(sum((${H60("tok")} % 1000003) * pos) AS BIGINT) AS fingerprint
       FROM pt GROUP BY doc_id""",
 
-    "ann_l2_topk" -> """
+    // 4-bit random-hyperplane LSH cells (integer-exact) + Hamming-1
+    // multiprobe + exact L2 re-rank — replicates PipelineOps.annTopK's
+    // bucketed candidate set bit-for-bit
+    "ann_l2_topk" -> {
+      def bit(i: Int, weight: Int) = s"""
+        (CASE WHEN list_aggregate(list_transform(generate_series(1, len(q)),
+           d -> q[d] * ((CAST('0x' || substr(md5('hp#$i#' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000)),
+           'sum') >= 0 THEN $weight ELSE 0 END)"""
+      s"""
       WITH e AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT)) AS q
         FROM embeddings),
-      qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 10),
-      d AS (SELECT qs.query_id, e.vec_id AS neighbor_id,
-          list_aggregate(list_transform(generate_series(1, len(qs.qv)),
-            i -> (qs.qv[i] - e.q[i]) * (qs.qv[i] - e.q[i])), 'sum')::BIGINT AS dist2
-        FROM qs, e WHERE e.vec_id <> qs.query_id)
+      c AS (SELECT vec_id, q,
+          ${bit(0, 8)} + ${bit(1, 4)} + ${bit(2, 2)} + ${bit(3, 1)} AS cell
+        FROM e),
+      probes AS (SELECT vec_id AS query_id,
+          unnest([cell, xor(cell, 1), xor(cell, 2), xor(cell, 4), xor(cell, 8),
+                  xor(cell, 3), xor(cell, 5), xor(cell, 6), xor(cell, 9),
+                  xor(cell, 10), xor(cell, 12)]) AS cell
+        FROM c WHERE vec_id < 10),
+      cand AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+        FROM probes p JOIN c ON p.cell = c.cell WHERE c.vec_id <> p.query_id),
+      d AS (SELECT cand.query_id, cand.neighbor_id,
+          list_aggregate(list_transform(generate_series(1, len(a.q)),
+            i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])), 'sum')::BIGINT AS dist2
+        FROM cand JOIN c a ON cand.query_id = a.vec_id JOIN c b ON cand.neighbor_id = b.vec_id)
       SELECT query_id, neighbor_id, rnk, dist2 FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, neighbor_id ASC) AS rnk
-        FROM d) WHERE rnk <= 5""",
+        FROM d) WHERE rnk <= 5"""
+    },
 
 
     "pred_hundred_integers_odd" -> """

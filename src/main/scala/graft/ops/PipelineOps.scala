@@ -181,16 +181,58 @@ object PipelineOps {
 
   // ------------------------------------------------------ similarity search
 
-  /** Brute-force top-5 nearest neighbors by exact quantized L2 distance for
-    * the first 10 query vectors (deterministic across engines: embeddings
-    * quantized to ints via floor(x*1e5), distances exact in int64). */
-  def annTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"),
+  /** 4-bit random-hyperplane LSH cell over a quantized integer embedding
+    * column named `q`. Hyperplane component (i, d) is a deterministic
+    * pseudo-random integer in [-1000, 1000] derived from the md5-based
+    * portable hash of "hp#i#d" — exact integer dot products, so the cell
+    * assignment is bit-identical across engines. (At production scale the
+    * bits x dims matrix would be precomputed and broadcast instead of
+    * re-hashed per row; the candidate-join shape is identical.) */
+  private def lshCell: Column = {
+    def bit(i: Int): Column = when(expr(
+      s"""aggregate(transform(q, (x, d) ->
+            x * ((cast(conv(substring(md5(concat('hp#$i#', cast(d + 1 as string))), 1, 15), 16, 10) as bigint) % 2001) - 1000)),
+          0L, (acc, v) -> acc + v)""") >= 0, lit(1)).otherwise(lit(0))
+    (bit(0) * 8 + bit(1) * 4 + bit(2) * 2 + bit(3)).as("cell")
+  }
+
+  /** Quantized corpus with LSH cell: (vec_id, q: array<bigint>, cell: int). */
+  private def annIndexed(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 100000) as bigint))").as("q"))
-    val queries = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("q").as("qv"))
-    val dist = queries.crossJoin(e.select(col("vec_id").as("neighbor_id"), col("q").as("nv")))
+      .withColumn("cell", lshCell)
+
+  /** XOR masks probed per query: all cells within Hamming distance 2 of the
+    * query's own 4-bit cell (11 of 16). The probe radius is the recall/cost
+    * dial: the sandbox embeddings are uniform-random unit vectors — the
+    * adversarial case, nearest-neighbor cos ~ 0.34 so each hyperplane bit
+    * agrees only with p ~ 0.61 — and radius 2 is what recall >= 0.7 costs
+    * there; clustered real-world embeddings reach it at radius 0-1. */
+  private val AnnProbeMasks = Seq(0, 1, 2, 4, 8, 3, 5, 6, 9, 10, 12)
+
+  /** Bucketed candidate pairs (query_id, neighbor_id): each query probes its
+    * own LSH cell plus the multiprobe neighborhood [[AnnProbeMasks]];
+    * candidates come from an EQUI-join on the cell key — never a cross join
+    * — then the exact re-rank tail runs on the bounded candidate set. */
+  private def annCandidates(indexed: DataFrame): DataFrame = {
+    val probes = indexed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        explode(array(AnnProbeMasks.map(m => expr(s"cell ^ $m")): _*)).as("cell"))
+    probes.join(indexed.select(col("vec_id").as("neighbor_id"), col("cell")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+  }
+
+  /** LSH-bucketed top-5 nearest neighbors by exact quantized L2 distance for
+    * the first 10 query vectors (deterministic across engines: embeddings
+    * quantized to ints via floor(x*1e5), cells + distances exact in int64;
+    * the DuckDB oracle replicates the identical multiprobe candidate set). */
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = annIndexed(s, dir)
+    val dist = annCandidates(e)
+      .join(e.select(col("vec_id").as("query_id"), col("q").as("qv")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("q").as("nv")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         expr("aggregate(zip_with(qv, nv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
           .as("dist2"))
@@ -201,17 +243,16 @@ object PipelineOps {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("dist2"))
   }
 
-  /** Brute-force cosine top-k over the raw float embeddings (float math —
-    * no SQL oracle; validated by the rows-only check + [[annTopK]]'s exact
-    * integer variant). Scale path: replace the cross join with an
-    * LSH/IVF-bucketed candidate join, same verification tail. */
+  /** LSH-bucketed cosine top-k: same integer-exact multiprobe candidate
+    * stage as [[annTopK]], float re-rank tail (float math — no SQL oracle;
+    * rows-only check + the integer L2 variant cover it). */
   def annCosine(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"),
+    val e = annIndexed(s, dir)
+    val v = emb(s, dir).select(col("vec_id"),
       expr("transform(embedding, x -> cast(x as double))").as("v"))
-    val queries = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val dist = queries.crossJoin(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv")))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val dist = annCandidates(e)
+      .join(v.select(col("vec_id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (expr("aggregate(zip_with(qv, nv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)") /
           (sqrt(expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)")) *
@@ -220,6 +261,23 @@ object PipelineOps {
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     dist.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
+  /** Exact brute-force L2 top-k over a supplied corpus — the small-N
+    * exactness oracle used by tests to measure the bucketed path's recall
+    * (deliberately NOT a catalog query: all-pairs does not scale). */
+  def annBruteForce(e: DataFrame, k: Int = 5): DataFrame = {
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    val dist = queries.crossJoin(e.select(col("vec_id").as("neighbor_id"), col("q").as("nv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("aggregate(zip_with(qv, nv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+          .as("dist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist2").asc, col("neighbor_id").asc)
+    dist.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("dist2"))
   }
 
 

@@ -47,6 +47,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"hot-key drop is not a broadcast anti-join:\n$plan")
   }
 
+  test("ANN queries: no cartesian product in the executed plan (bucketed LSH join)") {
+    for (q <- Seq(graft.ops.PipelineOps.annTopK(spark, sf),
+                  graft.ops.PipelineOps.annCosine(spark, sf))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"ANN plan contains an all-pairs join:\n$plan")
+    }
+  }
+
+  test("ANN bucketed top-k: recall >= 0.7 vs exact brute force on sf0.001") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select(col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 100000) as bigint))").as("q"))
+    val exact = graft.ops.PipelineOps.annBruteForce(e)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = graft.ops.PipelineOps.annTopK(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"bucketed ANN recall $recall too low (${exact.size} exact)")
+  }
+
   test("CC neighbor-min aggregation is partially aggregated (map-side combine)") {
     val edges = Seq(("a", "b"), ("b", "c")).toDF("a", "b")
     // capture the aggregate shape of one iteration's building block
