@@ -94,6 +94,7 @@ object SparkEntry {
     "text_fingerprint" -> (PipelineOps.textFingerprint _),
     "ann_l2_topk" -> (PipelineOps.annTopK _),
     "ann_cosine_topk" -> (PipelineOps.annCosine _), // rows-only (float math)
+    "gazette_search_empty_fill" -> (PipelineOps.gazetteSearchEmptyFill _),
     "mm_binary_meta" -> (PipelineOps.mmBinaryMeta _),
     "canonical_rep" -> (PipelineOps.canonicalRep _) // rows-only (affine-gap centroid)
   )

@@ -410,6 +410,30 @@ object OracleSql {
         round(1.0 / (1.0 + exp(-(8.0 * fi / greatest(fu, 1) - 4.0))), 6) AS score
       FROM f""",
 
+    // empty-fill gazetteer search: every odd-doc query surfaces; unmatched
+    // queries get the (-1, -1) sentinel (the reference's empty tuple)
+    "gazette_search_empty_fill" -> s"""
+      WITH d AS (
+        SELECT doc_id, list_distinct($TOKS) AS t,
+               regexp_extract(text, '^([a-z0-9'']+)', 1) AS key
+        FROM documents),
+      canon AS (SELECT * FROM d WHERE doc_id % 2 = 0 AND key <> ''),
+      qs AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+      scored AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS match_id,
+          len(list_intersect(q.t, c.t)) * 1000000
+            // greatest(len(q.t) + len(c.t) - len(list_intersect(q.t, c.t)), 1) AS score_q
+        FROM qs q JOIN canon c ON q.key = c.key),
+      top AS (
+        SELECT query_id, match_id, score_q FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, match_id ASC) AS rnk
+          FROM scored) WHERE rnk = 1)
+      SELECT q.doc_id AS query_id,
+        COALESCE(t.match_id, -1) AS match_id,
+        COALESCE(t.score_q, -1) AS score_q
+      FROM (SELECT DISTINCT doc_id FROM qs) q
+      LEFT JOIN top t ON q.doc_id = t.query_id""",
+
     "mm_binary_meta" -> s"""
       SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
              ${H60("text")} AS content_h

@@ -328,6 +328,32 @@ object PipelineOps {
     graft.cluster.Canonical.canonicalize(all)
   }
 
+  /** Gazetteer search with `_format_search_results` empty-fill semantics
+    * (api.py:1007-1024): even docs are the canonical index, odd docs the
+    * queries; each query surfaces with its best blocked match by integer
+    * token-Jaccard — or, when blocking finds no candidate, with the
+    * (-1, -1) empty-result sentinel row. Portable ints end to end. */
+  def gazetteSearchEmptyFill(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      array_distinct(toks(col("text"))).as("t"),
+      regexp_extract(col("text"), "^([a-z0-9']+)", 1).as("key"))
+    val canonical = d.filter(col("doc_id") % 2 === 0 && col("key") =!= "")
+    val queries = d.filter(col("doc_id") % 2 === 1)
+    val scored = queries.as("q").join(canonical.as("c"), col("q.key") === col("c.key"))
+      .select(col("q.doc_id").as("query_id"), col("c.doc_id").as("match_id"),
+        expr("""size(array_intersect(q.t, c.t)) * 1000000L
+                div greatest(size(array_union(q.t, c.t)), 1)""").as("score_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score_q").desc, col("match_id").asc)
+    val top = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1).drop("rnk")
+    queries.select(col("doc_id").as("query_id")).distinct()
+      .join(top, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("score_q"), lit(-1L)).as("score_q"))
+  }
+
   // ---------------------------------------------------------- multimodal
 
   /** Binary-column metadata pass: treat the payload as an opaque blob with

@@ -66,6 +66,47 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.length == 2)
   }
 
+  test("gazetteer index/unindex round trip with REPLACE + empty-fill (api.py:694-776,1007-1024)") {
+    import graft.dedup.Gazetteer
+    val cfg = DedupConfig()
+    val dir = java.nio.file.Files.createTempDirectory("gaz_idx").toString
+    val path = s"$dir/index"
+    val base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val other = "spark catalyst expressions compile into whole stage codegen spans quickly"
+
+    // index two canonical records
+    Gazetteer.index(spark, path,
+      Seq(("c1", base), ("c2", other)).toDF("url", "text"), cfg)
+    val queries = Seq(("q1", base + " extra"), ("q2", "nothing remotely similar xylophone zebra")).toDF("url", "text")
+    val r1 = Gazetteer.search(spark, path, queries, cfg, threshold = 0.5)
+      .as[(String, Option[String], Option[Float])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(r1("q1")._1.contains("c1"))
+    assert(r1("q2") == ((None, None)), "unmatched query must surface with empty fill")
+
+    // REPLACE: re-index c1 with different content -> old blocks gone
+    Gazetteer.index(spark, path, Seq(("c1", other + " replaced")).toDF("url", "text"), cfg)
+    assert(graft.io.TableIO.read(spark, path).count() == 2, "same-key index must replace, not append")
+    val r2 = Gazetteer.search(spark, path, queries, cfg, threshold = 0.5)
+      .as[(String, Option[String], Option[Float])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(r2("q1")._1.isEmpty, "replaced record must no longer match its old text")
+
+    // unindex c2: a query for `other` must no longer reach it (the surviving
+    // match is c1, whose REPLACE text is also near `other`)
+    Gazetteer.unindex(spark, path, Seq(Tuple1("c2")).toDF("url"))
+    assert(graft.io.TableIO.read(spark, path).count() == 1)
+    val r3 = Gazetteer.search(spark, path,
+      Seq(("q3", other)).toDF("url", "text"), cfg, threshold = 0.5, n = 5)
+      .as[(String, Option[String], Option[Float])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!r3.values.exists(_._1.contains("c2")), "unindexed record must not match")
+    assert(r3("q3")._1.contains("c1"))
+    // unindex c1 too -> fully empty fill
+    Gazetteer.unindex(spark, path, Seq(Tuple1("c1")).toDF("url"))
+    val r4 = Gazetteer.search(spark, path,
+      Seq(("q4", other)).toDF("url", "text"), cfg, threshold = 0.5)
+      .as[(String, Option[String], Option[Float])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(r4("q4") == ((None, None)), "empty index must still surface the query")
+  }
+
   test("multimodal extract: partition-batched decode stub over binary column") {
     val pages = WebText.synthetic(spark, 20).toDF().select($"url", $"html")
     val metas = Multimodal.extract(pages).collect()
