@@ -66,6 +66,7 @@ object SparkEntry {
     "score_jaccard_tokens" -> (Queries.scoreJaccardTokens _),
     "score_features" -> (PipelineOps.scoreFeatures _),
     "score_lr_sigmoid" -> (PipelineOps.scoreLrSigmoid _),
+    "score_geo_price" -> (PipelineOps.scoreGeoPrice _),
     // clustering (§2.5)
     "cluster_cc" -> (Queries.clusterConnectedComponents _),
     "cluster_gazette_topn" -> (Queries.clusterGazetteTopN _),

@@ -434,6 +434,44 @@ object OracleSql {
       FROM (SELECT DISTINCT doc_id FROM qs) q
       LEFT JOIN top t ON q.doc_id = t.query_id""",
 
+    // non-string comparators: haversine^0.5 + price log-dist (round 6dp like
+    // score_lr_sigmoid) + categorical/exists dummies, on doc_id-derived
+    // synthetic fields. Categorical outcomes for (en, fr, other):
+    // [(en,en),(fr,fr),(other,other),(en,fr),(en,other),(fr,other)] -> 5 dummies
+    "score_geo_price" -> s"""
+      WITH d AS (
+        SELECT doc_id, $TWO_TOKEN_KEY AS key,
+          (doc_id * 7 % 18000) / 100.0 - 90 AS lat,
+          (doc_id * 13 % 36000) / 100.0 - 180 AS lon,
+          CAST(doc_id % 1000 AS DOUBLE) AS price,
+          CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END AS ex,
+          CASE WHEN lang IN ('en', 'fr') THEN lang ELSE 'other' END AS cat
+        FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          a.lat AS lat1, a.lon AS lon1, b.lat AS lat2, b.lon AS lon2,
+          a.price AS p1, b.price AS p2,
+          least(a.cat, b.cat) AS clo, greatest(a.cat, b.cat) AS chi,
+          (a.ex IS NOT NULL AND a.ex <> '') AS pa,
+          (b.ex IS NOT NULL AND b.ex <> '') AS pb
+        FROM d a JOIN d b USING (key)
+        WHERE a.doc_id < b.doc_id AND a.key <> '')
+      SELECT DISTINCT id_a, id_b,
+        round(sqrt(2 * 6371.0088 * asin(sqrt(
+          pow(sin(radians(lat2 - lat1) / 2), 2) +
+          cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)
+        ))), 6) AS geo_dist,
+        CASE WHEN p1 <= 0 OR p2 <= 0 THEN -1.0
+             ELSE round(abs(log10(p1) - log10(p2)), 6) END AS price_dist,
+        CASE WHEN p1 <= 0 OR p2 <= 0 THEN 1 ELSE 0 END AS price_missing,
+        CASE WHEN clo = 'fr' AND chi = 'fr' THEN 1 ELSE 0 END AS cat_d1,
+        CASE WHEN clo = 'other' AND chi = 'other' THEN 1 ELSE 0 END AS cat_d2,
+        CASE WHEN clo = 'en' AND chi = 'fr' THEN 1 ELSE 0 END AS cat_d3,
+        CASE WHEN clo = 'en' AND chi = 'other' THEN 1 ELSE 0 END AS cat_d4,
+        CASE WHEN clo = 'fr' AND chi = 'other' THEN 1 ELSE 0 END AS cat_d5,
+        CASE WHEN pa AND pb THEN 1 ELSE 0 END AS ex_d1,
+        CASE WHEN (pa OR pb) AND NOT (pa AND pb) THEN 1 ELSE 0 END AS ex_d2
+      FROM p""",
+
     "mm_binary_meta" -> s"""
       SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
              ${H60("text")} AS content_h

@@ -315,6 +315,41 @@ object PipelineOps {
         .as("score"))
   }
 
+  /** Featurizer over the non-string comparator zoo — haversine^0.5
+    * (latlong.py:16-18), price log-distance (price.py:17-24), categorical +
+    * exists dummies (categorical_type.py:12-27, exists.py:25-38) — on
+    * deterministic synthetic geo/price/presence fields derived from doc_id
+    * (the testdata has no native latlong/price columns; the derivation is
+    * integer-exact so the oracle reproduces it bit-for-bit, and the float
+    * comparator outputs are rounded to 6dp like score_lr_sigmoid's). */
+  def scoreGeoPrice(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      regexp_extract(col("text"), "^([a-z0-9']+[^a-z0-9']+[a-z0-9']+)", 1).as("key"),
+      ((col("doc_id") * 7 % 18000) / lit(100.0) - 90).as("lat"),
+      ((col("doc_id") * 13 % 36000) / lit(100.0) - 180).as("lon"),
+      (col("doc_id") % 1000).cast("double").as("price"),
+      when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(col("source")).as("ex"),
+      when(col("lang").isin("en", "fr"), col("lang")).otherwise("other").as("cat"))
+      .filter(col("key") =!= "")
+    val p = d.as("a").join(d.as("b"),
+      col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+    val catCols = Comparators.categoricalDummies(
+      col("a.cat"), col("b.cat"), Seq("en", "fr", "other"))
+      .zipWithIndex.map { case (c, i) => c.as(s"cat_d${i + 1}") }
+    val exCols = Comparators.existsDummies(col("a.ex"), col("b.ex"))
+      .zipWithIndex.map { case (c, i) => c.as(s"ex_d${i + 1}") }
+    val priceDist = Comparators.priceLogDiff(col("a.price"), col("b.price"))
+    p.select(Seq(
+      col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+      round(Comparators.haversineSqrt(col("a.lat"), col("a.lon"),
+        col("b.lat"), col("b.lon")), 6).as("geo_dist"),
+      coalesce(round(priceDist, 6), lit(-1.0)).as("price_dist"),
+      when(priceDist.isNull, 1L).otherwise(0L).as("price_missing")) ++
+      catCols ++ exCols: _*)
+      .distinct()
+  }
+
   /** Canonical representative per exact-dup group (rows-only: affine-gap
     * centroid is not SQL-expressible) — canonical.py:56-79 over the
     * case-variant corpus of [[dedupExact]]. */
