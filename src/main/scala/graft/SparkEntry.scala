@@ -96,6 +96,7 @@ object SparkEntry {
     "ann_l2_topk" -> (PipelineOps.annTopK _),
     "ann_cosine_topk" -> (PipelineOps.annCosine _), // rows-only (float math)
     "gazette_search_empty_fill" -> (PipelineOps.gazetteSearchEmptyFill _),
+    "training_pairs" -> (PipelineOps.trainingPairs _),
     "mm_binary_meta" -> (PipelineOps.mmBinaryMeta _),
     "canonical_rep" -> (PipelineOps.canonicalRep _) // rows-only (affine-gap centroid)
   )

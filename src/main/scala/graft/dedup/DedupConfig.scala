@@ -56,7 +56,13 @@ final case class DedupConfig(
     suffixEvery: Int = 20,
     /** Whole-text exact-duplicate pass (also catches docs shorter than
       * shingleK, which emit no shingles). */
-    useExact: Boolean = true) {
+    useExact: Boolean = true,
+    /** Compact record ids. Default: xxhash64(url) with an active collision
+      * assert (expected collisions ~n^2/2^65 — fine to ~10^9 docs, and the
+      * assert turns a silent merge into a loud failure). `true`: dense ids
+      * from a range-partitioned global rank of url — collision-free at any
+      * scale (use at 10^11+ docs). */
+    exactIds: Boolean = false) {
   require(numHashes % bands == 0, "numHashes must be divisible by bands")
   require(64 % simhashBands == 0, "simhashBands must divide 64")
   def rows: Int = numHashes / bands
@@ -66,5 +72,5 @@ final case class DedupConfig(
       s""""seed":$seed,"threshold":$threshold,"minScore":$minScore,"scoreMaxHamming":$scoreMaxHamming,"hotKeyMin":$hotKeyMin,"hotKeyFrac":$hotKeyFrac,""" +
       s""""maxComponents":$maxComponents,"useSimHash":$useSimHash,"simhashBands":$simhashBands,""" +
       s""""simhashMaxHamming":$simhashMaxHamming,"useSuffix":$useSuffix,"suffixWidth":$suffixWidth,""" +
-      s""""suffixEvery":$suffixEvery,"useExact":$useExact}"""
+      s""""suffixEvery":$suffixEvery,"useExact":$useExact,"exactIds":$exactIds}"""
 }

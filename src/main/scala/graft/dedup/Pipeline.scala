@@ -26,6 +26,30 @@ object Pipeline {
 
   final case class StageMetrics(stage: String, rows: Long, partitions: Int, hotKeysDropped: Long = -1L)
 
+  /** Collision-free dense record ids: nid = global rank of url. Scalable
+    * shape — range partitioning orders the partitions, the rank window is
+    * partition-LOCAL (never a single-task global sort), and the per-partition
+    * offsets are a tiny broadcast — the standard distributed dense-id
+    * assignment. Deterministic for a given url set regardless of input
+    * partitioning or sampling, because rank-in-global-order is. */
+  def exactIdTable(spark: SparkSession, urls: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"pid").orderBy($"url")
+    val withPos = urls.select($"url").distinct()
+      .repartitionByRange($"url")
+      .sortWithinPartitions($"url")
+      .withColumn("pid", spark_partition_id())
+      .withColumn("pos", row_number().over(w))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy($"pid").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = withPos.groupBy($"pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum($"cnt").over(wOff), lit(0L)))
+      .select($"pid", $"offset")
+    withPos.join(broadcast(offsets), Seq("pid"))
+      .select($"url", ($"offset" + $"pos" - 1).as("nid"))
+  }
+
   /**
    * Run (or resume) the full pipeline.
    * @param pages input with (url: string, text: string) — raw text; the
@@ -52,15 +76,29 @@ object Pipeline {
     // 1. normalize (byte-identical text per url — north-rule invariant) and
     // assign the compact 64-bit record id used through the shuffle-heavy
     // middle of the pipeline (pairs/scoring/CC move ~100x more rows than
-    // docs; 16-byte pairs instead of double urls). xxhash64 collisions are
-    // ~n²/2^65 (1e-9 at 10M docs); at 10^11+ swap in a row_number mapping
-    // behind the same (nid, url) table.
+    // docs; 16-byte pairs instead of double urls). Two modes
+    // ([[DedupConfig.exactIds]]): xxhash64(url) guarded by an active
+    // collision assert (below), or collision-free dense ids via
+    // [[exactIdTable]] for 10^11+-doc runs.
     // Null-text pages are KEPT: like a reference record whose field is None
     // they emit no block keys (predicates.py:90-95) but still surface as
     // singleton clusters (api.py:209-218).
     val normalized = stage("normalized") {
-      pages.select($"url", xxhash64($"url").as("nid"),
-        graft.expr.functions.normalize_text($"text").as("text"))
+      if (cfg.exactIds) {
+        val base = pages.select($"url", graft.expr.functions.normalize_text($"text").as("text"))
+        base.join(exactIdTable(spark, base.select($"url")), Seq("url"))
+          .select($"url", $"nid", $"text")
+      } else
+        pages.select($"url", xxhash64($"url").as("nid"),
+          graft.expr.functions.normalize_text($"text").as("text"))
+    }
+    if (!cfg.exactIds) {
+      // collision guard: a silent xxhash64 merge corrupts clusters; fail loud
+      val r = normalized.agg(
+        countDistinct($"nid").as("n_nid"), countDistinct($"url").as("n_url")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"xxhash64(url) record-id collision (${r.getLong(1)} urls -> ${r.getLong(0)} ids); " +
+          "rerun with DedupConfig(exactIds = true)")
     }
 
     // 2. signatures (persisted: feeds block keys, doc count and scoring)

@@ -1,0 +1,84 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data construction from an already-deduplicated dataset — the
+ * distributed `training_data_dedupe` (`convenience.py:295-351`) plus the
+ * triangular-index pair decode of `randomPairs` (`convenience.py:28-57`).
+ *
+ * Match pairs are all within-group combinations of the common key; distinct
+ * pairs are a sample of the n*(n-1)/2 unordered index pairs decoded
+ * arithmetically from flat indices (never enumerating all pairs), minus the
+ * match pairs. The reference samples with `random.sample`; this port samples
+ * deterministically by hashing the sample ordinal (the with-replacement
+ * fallback the reference itself uses past 2^63, `convenience.py:45-46`), so
+ * runs are reproducible and the DuckDB oracle can replay them.
+ */
+object TrainingData {
+
+  /** Decode flat upper-triangle indices `k` in [0, n(n-1)/2) into (i, j)
+    * index pairs, i < j — exact integer port of `convenience.py:28-57`
+    * (the i*(b+i+2) product is provably even, so truncating and flooring
+    * division agree and both engines compute identical pairs; IEEE sqrt is
+    * correctly rounded in both). Input df must have a `k` column. */
+  def decodePairs(ks: DataFrame, nRecords: Long): DataFrame = {
+    val nPairs = nRecords * (nRecords - 1) / 2
+    require(nRecords < (1L << 52), "triangular decode needs exact doubles")
+    val b = 1L - 2L * nRecords
+    ks.select(col("k"),
+      floor((lit(-b) - lit(2.0) * sqrt(lit(2.0) * (lit(nPairs) - col("k")) + lit(0.25))) / 2)
+        .cast("long").as("i"))
+      .select(col("i"),
+        expr(s"k + (i * ($b + i + 2)) div 2 + 1").as("j"))
+  }
+
+  /** Deterministic flat-index sample of size `sampleSize` (with replacement,
+    * md5-hash of the sample ordinal — portable to the SQL oracle). */
+  def sampleIndices(spark: org.apache.spark.sql.SparkSession,
+                    nRecords: Long, sampleSize: Int): DataFrame = {
+    val nPairs = nRecords * (nRecords - 1) / 2
+    spark.range(sampleSize).select(
+      (conv(substring(md5(concat(lit("tp#"), col("id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % nPairs).as("k"))
+  }
+
+  /**
+   * `training_data_dedupe` (`convenience.py:295-351`): match pairs = all
+   * within-common-key combinations (ids sorted within the pair); distinct
+   * pairs = `sampleSize` decoded random pairs over the doc-id-sorted record
+   * list, minus match pairs.
+   *
+   * @param data (idCol, keyCol) record table; ids must be unique
+   * @return (label: "match"|"distinct", id_a, id_b) with id_a < id_b
+   */
+  def trainingDataDedupe(data: DataFrame, idCol: String, keyCol: String,
+                         sampleSize: Int = 500): DataFrame = {
+    val spark = data.sparkSession
+    val ids = data.select(col(idCol)).distinct()
+    val n = ids.count()
+    // index <-> id mapping in sorted-id order (the reference's
+    // unique_record_ids list; sorted for determinism). The global window is
+    // acceptable here because training samples are capped (50k in the
+    // reference); the flagship pipeline's dense-id path does the same job
+    // scalably via range partitioning (Pipeline.exactIdTable).
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    val indexed = ids.withColumn("idx", row_number().over(w) - 1)
+
+    val matched = data.select(col(idCol).as("id_a"), col(keyCol).as("key"))
+      .join(data.select(col(idCol).as("id_b"), col(keyCol).as("key")), Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+
+    val decoded = decodePairs(sampleIndices(spark, n, sampleSize), n)
+      .join(indexed.select(col("idx").as("i"), col(idCol).as("id_a")), Seq("i"))
+      .join(indexed.select(col("idx").as("j"), col(idCol).as("id_b")), Seq("j"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val distinctPairs = decoded.join(matched, Seq("id_a", "id_b"), "left_anti")
+    matched.select(lit("match").as("label"), col("id_a"), col("id_b"))
+      .unionByName(distinctPairs.select(lit("distinct").as("label"), col("id_a"), col("id_b")))
+  }
+}

@@ -472,6 +472,33 @@ object OracleSql {
         CASE WHEN (pa OR pb) AND NOT (pa AND pb) THEN 1 ELSE 0 END AS ex_d2
       FROM p""",
 
+    // training_data_dedupe: match = within-key combinations; distinct = 500
+    // hash-sampled triangular-decoded pairs minus matches (i*(b+i+2) is
+    // always even so // and div agree; IEEE sqrt is correctly rounded)
+    "training_pairs" -> s"""
+      WITH ids AS (
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+        FROM (SELECT DISTINCT doc_id FROM documents)),
+      params AS (SELECT count(*) AS n, count(*) * (count(*) - 1) // 2 AS np FROM ids),
+      dk AS (SELECT doc_id, $TWO_TOKEN_KEY AS key FROM documents),
+      matched AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM dk a JOIN dk b USING (key) WHERE a.doc_id < b.doc_id),
+      ks AS (
+        SELECT CAST('0x' || substr(md5('tp#' || CAST(m AS VARCHAR)), 1, 15) AS BIGINT) % np AS k
+        FROM generate_series(0, 499) t(m), params),
+      ij AS (
+        SELECT k, CAST(floor((-(1 - 2 * n) - 2 * sqrt(2 * (np - k) + 0.25)) / 2) AS BIGINT) AS i, n
+        FROM ks, params),
+      pij AS (SELECT i, k + (i * ((1 - 2 * n) + i + 2)) // 2 + 1 AS j FROM ij),
+      decoded AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pij JOIN ids a ON pij.i = a.idx JOIN ids b ON pij.j = b.idx)
+      SELECT 'match' AS label, id_a, id_b FROM matched
+      UNION ALL
+      SELECT 'distinct' AS label, d.id_a, d.id_b FROM decoded d
+      WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.id_a = d.id_a AND m.id_b = d.id_b)""",
+
     "mm_binary_meta" -> s"""
       SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
              ${H60("text")} AS content_h

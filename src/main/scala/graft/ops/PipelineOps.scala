@@ -389,6 +389,15 @@ object PipelineOps {
         coalesce(col("score_q"), lit(-1L)).as("score_q"))
   }
 
+  /** `training_data_dedupe` over the documents table (convenience.py:295-351):
+    * common key = the first-two-tokens block key, distinct pairs from 500
+    * deterministic triangular-decoded samples. */
+  def trainingPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      regexp_extract(col("text"), "^([a-z0-9']+[^a-z0-9']+[a-z0-9']+)", 1).as("key"))
+    graft.dedup.TrainingData.trainingDataDedupe(d, "doc_id", "key", sampleSize = 500)
+  }
+
   // ---------------------------------------------------------- multimodal
 
   /** Binary-column metadata pass: treat the payload as an opaque blob with

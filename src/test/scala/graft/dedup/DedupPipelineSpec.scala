@@ -73,6 +73,26 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("exactIds mode: dense collision-free ids, identical clusters (Pipeline.exactIdTable)") {
+    // dense-id property
+    val ids = Pipeline.exactIdTable(spark, pages.select($"url"))
+    val n = pages.count()
+    assert(ids.count() == n)
+    val (mn, mx, distinct) = ids.agg(min($"nid"), max($"nid"), countDistinct($"nid"))
+      .as[(Long, Long, Long)].head()
+    assert(mn == 0L && mx == n - 1 && distinct == n, s"ids not dense: [$mn,$mx] n=$distinct")
+    // rank order follows url order
+    val ordered = ids.orderBy($"nid").select($"url").as[String].collect()
+    assert(ordered.toSeq == ordered.toSeq.sorted)
+    // same cluster partition as the default xxhash-id mode
+    val exact = Pipeline.run(spark, pages, cfg.copy(exactIds = true))
+      .select($"url", $"cluster_id")
+    val canon = (df: org.apache.spark.sql.DataFrame) => df
+      .groupBy($"cluster_id").agg(sort_array(collect_list($"url")).as("members"))
+      .select($"members").as[Seq[String]].collect().toSet
+    assert(canon(exact) == canon(clusters.select($"url", $"cluster_id").toDF()))
+  }
+
   test("confidences match the reference formula per cluster") {
     // spot-check: all confidences in (0, 1]; singletons exactly 1.0
     val bad = clusters.filter($"confidence" <= 0.0 || $"confidence" > 1.0).count()
