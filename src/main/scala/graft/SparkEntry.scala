@@ -59,6 +59,7 @@ object SparkEntry {
     "pred_order_of_magnitude" -> (Queries.predOrderOfMagnitude _),
     "pred_round_to1" -> (Queries.predRoundTo1 _),
     "pred_latlong_grid" -> (Queries.predLatLongGrid _), // rows-only (float grid)
+    "pred_double_metaphone" -> (Queries.predDoubleMetaphone _), // rows-only (no DuckDB metaphone)
     // pair generation (§2.3)
     "pairs_self_join" -> (Queries.pairsSelfJoin _),
     "pairs_record_link" -> (Queries.pairsRecordLink _),

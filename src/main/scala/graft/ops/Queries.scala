@@ -348,6 +348,24 @@ object Queries {
   /** CSV source + reference pre_process normalization (common.py:12-29):
     * writes a deterministic CSV once, reads it back through spark.read.csv
     * and normalizes. Rows-only check (no CSV registered in the oracle). */
+  /** Double Metaphone block keys (predicate_functions.py:154-165): whole-field
+    * codes tagged `w:` and per-token codes tagged `t:`. Kernel is the pure
+    * Scala [[graft.texthash.Metaphone]] (golden-tested); rows-only check —
+    * DuckDB has no metaphone function. Typed flatMap is acceptable here
+    * (predicate emission is a per-row scalar kernel; the flagship pipeline's
+    * hot path keeps its own codegen'd key expressions). */
+  def predDoubleMetaphone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val whole = graft.texthash.Predicates.doubleMetaphone(t).map("w:" + _)
+        val toks = graft.texthash.Predicates.metaphoneToken(t).map("t:" + _)
+        (whole ++ toks).iterator.map(k => (id, k))
+      }
+      .toDF("doc_id", "key")
+  }
+
   def scanCsvPreprocess(s: SparkSession, dir: String): DataFrame = {
     val csvPath = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_csv_" + dir.replaceAll("[^a-z0-9.]", "_")).getAbsolutePath

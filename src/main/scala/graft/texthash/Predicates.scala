@@ -114,6 +114,19 @@ object Predicates {
   def sortedAcronym(f: String): Set[String] = // :150-151
     Set(pySplit(f).map(_.charAt(0)).sorted.mkString(""))
 
+  /** Nonempty Double Metaphone codes of the whole field (:154-155). */
+  def doubleMetaphone(f: String): Set[String] = {
+    val (p, s) = Metaphone.doubleMetaphone(f)
+    Set(p, s).filter(_.nonEmpty)
+  }
+
+  /** Nonempty Double Metaphone codes of each whitespace token (:158-165). */
+  def metaphoneToken(f: String): Set[String] =
+    pySplit(f).iterator.flatMap { tok =>
+      val (p, s) = Metaphone.doubleMetaphone(tok)
+      Iterator(p, s)
+    }.filter(_.nonEmpty).toSet
+
   // --- set predicates ------------------------------------------------------
 
   def wholeSetPredicate(s: Seq[String]): Set[String] = // :168-169 (str() of a python tuple/list not reproduced; canonical repr)

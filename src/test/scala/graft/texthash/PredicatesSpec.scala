@@ -131,6 +131,28 @@ class PredicatesSpec extends AnyFunSuite {
     assert(sameSevenCharStartPredicate(" c1p   c10p ") == Set("c1pc10p"))
   }
 
+  test("doubleMetaphone goldens (test_predicate_functions.py:207-211)") {
+    assert(doubleMetaphone("i") == Set("A"))
+    assert(doubleMetaphone("donald") == Set("TNLT"))
+    assert(doubleMetaphone("goofy") == Set("KF"))
+    assert(doubleMetaphone("cipciop") == Set("SPSP", "SPXP"))
+  }
+
+  test("metaphoneToken goldens (test_predicate_functions.py:213-217)") {
+    assert(metaphoneToken("i") == Set("A"))
+    assert(metaphoneToken("don ald") == Set("TN", "ALT"))
+    assert(metaphoneToken("goo fy") == Set("K", "F"))
+    assert(metaphoneToken("cip ciop") == Set("SP", "XP"))
+  }
+
+  test("doubleMetaphone classic published examples (Philips 2000)") {
+    assert(Metaphone.doubleMetaphone("smith") == (("SM0", "XMT")))
+    assert(Metaphone.doubleMetaphone("schmidt") == (("XMT", "SMT")))
+    assert(Metaphone.doubleMetaphone("jose") == (("HS", "HS")))
+    assert(Metaphone.doubleMetaphone("michael") == (("MKL", "MXL")))
+    assert(Metaphone.doubleMetaphone("") == (("", "")))
+  }
+
   test("suffixArray (predicate_functions.py:142-147)") {
     assert(suffixArray("deduplicate") ==
       Set("deduplicate", "eduplicate", "duplicate", "uplicate", "plicate", "licate", "icate"))
