@@ -29,6 +29,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", "256m") // the ~15MB/10^6-doc
+      // fingerprint map must broadcast reliably at bench scale (prod jobs set
+      // 100-512m); at 10^12 docs it exceeds any threshold and AQE picks SMJ
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.ui.enabled", "false")

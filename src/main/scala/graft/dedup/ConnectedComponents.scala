@@ -30,16 +30,85 @@ object ConnectedComponents {
 
   private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** @param edges (a, b) string ids; returns (id, comp) for every endpoint. */
-  def run(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+  /** Edge-count gate for the driver-local fast path: below it the whole
+    * component problem fits the driver comfortably (2M edges ~ 128 MB) and a
+    * local union-find beats ~6 distributed join rounds by an order of
+    * magnitude — the same small-input adaptivity AQE applies to joins. At
+    * 10^12-doc scale the scored edge list is orders of magnitude above the
+    * gate and the distributed loop runs. */
+  val LocalEdgeThreshold: Long = 2000000L
+
+  /** Driver-local union-find with the SAME label semantics as the
+    * distributed loop (comp = smallest member id, so outputs are
+    * bit-identical whichever path runs). Schema-preserving. */
+  private def runLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val rows = edges.select(col("a"), col("b")).collect()
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    rows.foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(ra, rb)
+    }
+    import scala.jdk.CollectionConverters._
+    def lt(x: Any, y: Any): Boolean = x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val minOf = new java.util.HashMap[Any, Any]()
+    parent.keySet().asScala.foreach { id =>
+      val r = find(id)
+      val cur = minOf.get(r)
+      if (cur == null || lt(id, cur)) minOf.put(r, id)
+    }
+    val out = parent.keySet().asScala.toSeq
+      .map(id => org.apache.spark.sql.Row(id, minOf.get(find(id))))
+    val dt = edges.schema.head.dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt),
+      org.apache.spark.sql.types.StructField("comp", dt)))
+    spark.createDataFrame(out.asJava, schema)
+  }
+
+  /** @param edges (a, b) ids; returns (id, comp) for every endpoint.
+    * `localEdgeThreshold` selects the driver-local fast path (same labels);
+    * pass 0 to force the distributed loop. */
+  def run(edges: DataFrame, maxIterations: Int = 50,
+          localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    // symmetrized adjacency, deduped
+    // symmetrized adjacency, deduped, then hash-partitioned ONCE on the
+    // per-iteration join key: every iteration's neighbor-min join reuses
+    // this partitioning, so only the (small) label table moves per round
     val sym = edges.select($"a".as("src"), $"b".as("dst"))
       .unionAll(edges.select($"b".as("src"), $"a".as("dst")))
       .distinct()
+      .repartition($"dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Iterative micro-queries pay AQE's per-stage scheduling latency (~4
+    // stages x ~10 rounds) without gaining anything — partition counts are
+    // fixed and the per-round tables are label-sized. Disable AQE for the
+    // loop and restore after. The shuffle_hash hints below keep the joins
+    // off the driver (no per-round broadcast rebuild) at any label size.
+    // Shuffle partitions for the loop are DATA-proportional (label tables,
+    // ~100k rows/partition), not cluster-width-proportional: a 1000-executor
+    // session would otherwise run every ~600k-row round in 200k empty tasks.
+    val nEdges = edges.count()
+    if (nEdges <= localEdgeThreshold) { sym.unpersist(); return runLocal(edges) }
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(8L, math.min(partsWas.toLong, nEdges / 100000L + 1L))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
 
     // convergence via a multiset checksum of (id, comp) — one narrow agg per
     // iteration instead of a join; collision probability ~2^-64.
@@ -58,21 +127,22 @@ object ConnectedComponents {
     var iter = 0
     var changed = true
     while (changed && iter < maxIterations) {
-      // neighbor minimum (partial agg combines map-side)
+      // neighbor minimum (partial agg combines map-side); only `assign`
+      // shuffles — sym is already partitioned on dst
       val nbrMin = sym
-        .join(assign.withColumnRenamed("id", "dst"), Seq("dst"))
+        .join(assign.hint("shuffle_hash").withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy($"src")
         .agg(min($"comp").as("nmin"))
         .withColumnRenamed("src", "id")
 
       val stepped = assign
-        .join(nbrMin, Seq("id"), "left")
+        .join(nbrMin.hint("shuffle_hash"), Seq("id"), "left")
         .select($"id", least($"comp", coalesce($"nmin", $"comp")).as("comp"))
 
       // pointer jumping: comp <- comp(comp)
       val jumpTargets = stepped.select($"id".as("jid"), $"comp".as("jcomp"))
       val next = stepped
-        .join(jumpTargets, stepped("comp") === jumpTargets("jid"), "left")
+        .join(jumpTargets.hint("shuffle_hash"), stepped("comp") === jumpTargets("jid"), "left")
         .select(stepped("id"), coalesce($"jcomp", stepped("comp")).as("comp"))
         .localCheckpoint(false) // materialized by the checksum action below
 
@@ -87,6 +157,10 @@ object ConnectedComponents {
         "iterations; returning possibly non-converged labels")
     sym.unpersist()
     assign
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
+    }
   }
 
   /**

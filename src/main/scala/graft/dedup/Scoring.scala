@@ -58,7 +58,10 @@ object Scoring {
     // blocking stage deferred it
     val surviving = if (dedupePairs) prefiltered.distinct() else prefiltered
 
-    val sh = sigs.select(col(idCol).as("sid"), col("shingles"))
+    // shuffle_hash: the shingle side carries ~KB array payloads per row —
+    // hash-building it avoids sort-merge's full sort of the array columns
+    // (2x the memory traffic) at any scale where it exceeds broadcast size
+    val sh = sigs.select(col(idCol).as("sid"), col("shingles")).hint("shuffle_hash")
     surviving
       .join(sh.withColumnRenamed("sid", "a").withColumnRenamed("shingles", "sh_a"), Seq("a"))
       .join(sh.withColumnRenamed("sid", "b").withColumnRenamed("shingles", "sh_b"), Seq("b"))

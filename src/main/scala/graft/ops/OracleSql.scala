@@ -235,8 +235,13 @@ object OracleSql {
       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
 
     "q_set_ops" -> """
-      SELECT DISTINCT c_nationkey AS nk FROM customer
-      EXCEPT SELECT DISTINCT s_nationkey AS nk FROM supplier""",
+      WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+           s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+      SELECT 'except' AS op, nk FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+      UNION ALL
+      SELECT 'intersect' AS op, nk FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+      UNION ALL
+      SELECT 'union' AS op, nk FROM (SELECT nk FROM c UNION SELECT nk FROM s)""",
 
     "q_sort_limit" -> """
       SELECT l_orderkey, l_linenumber FROM lineitem

@@ -295,9 +295,16 @@ object Queries {
       col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"))
 
-  def qSetOps(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
-      .exceptAll(tbl(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct())
+  /** EXCEPT / INTERSECT / UNION in one result (one labeled row per nation key
+    * and op), so the oracle hash is non-vacuous at every SF — at sf >= 0.01
+    * customers cover all supplier nations and a bare EXCEPT is empty. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = tbl(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+    val sup = tbl(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+    c.exceptAll(sup).select(lit("except").as("op"), col("nk"))
+      .unionAll(c.intersect(sup).select(lit("intersect").as("op"), col("nk")))
+      .unionAll(c.union(sup).distinct().select(lit("union").as("op"), col("nk")))
+  }
 
 
   def predHundredIntegersOdd(s: SparkSession, dir: String): DataFrame =

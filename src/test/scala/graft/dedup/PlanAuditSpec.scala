@@ -68,6 +68,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"bucketed ANN recall $recall too low (${exact.size} exact)")
   }
 
+  test("CC local fast path and distributed loop produce identical labels") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "a"))
+      .toDF("a", "b")
+    val local = ConnectedComponents.run(edges)
+      .as[(String, String)].collect().toSet
+    val dist = ConnectedComponents.run(edges, localEdgeThreshold = 0)
+      .as[(String, String)].collect().toSet
+    assert(local == dist)
+    assert(local == Set(("a", "a"), ("b", "a"), ("c", "a"), ("p", "a"), ("q", "a"),
+      ("r", "a"), ("x", "x"), ("y", "x")))
+    // long ids too (the pipeline's nid space)
+    val le = Seq((5L, 3L), (3L, 9L), (11L, 12L)).toDF("a", "b")
+    val ll = ConnectedComponents.run(le).as[(Long, Long)].collect().toSet
+    val ld = ConnectedComponents.run(le, localEdgeThreshold = 0).as[(Long, Long)].collect().toSet
+    assert(ll == ld)
+    assert(ll == Set((3L, 3L), (5L, 3L), (9L, 3L), (11L, 11L), (12L, 11L)))
+  }
+
   test("CC neighbor-min aggregation is partially aggregated (map-side combine)") {
     val edges = Seq(("a", "b"), ("b", "c")).toDF("a", "b")
     // capture the aggregate shape of one iteration's building block
