@@ -74,13 +74,28 @@ object Blocking {
 
     val parts = Seq(minhashKeys) ++
       (if (cfg.useSimHash) {
-        val chunkBits = 64 / cfg.simhashBands
-        Seq((0 until cfg.simhashBands).map { c =>
-          // chunk c of the simhash, salted with the chunk index
-          val chunk = shiftRightUnsigned($"simhash", c * chunkBits)
-            .bitwiseAND(lit(if (chunkBits == 64) -1L else (1L << chunkBits) - 1))
-          sigs.select(tagged(xxhash64(chunk, lit(c)), TagSimhash).as("key"), col(idCol))
-        }.reduce(_ unionAll _))
+        // Manku-style multi-block keys (Manku, Jain & Das Sarma, WWW'07):
+        // split the 64-bit simhash into 6 blocks and key every 3-block
+        // combination (C(6,3) = 20 keys of ~32 bits). Pigeonhole: <= 3
+        // flipped bits leave >= 3 blocks intact, so every pair within
+        // hamming <= simhashMaxHamming(3) shares a key. Unlike single
+        // 16-bit chunks (65k distinct values — inherently mid-frequency on
+        // realistic text), 32-bit combo keys keep document frequencies in
+        // the long tail, so the pass adds candidates without feeding the
+        // stop-word cap.
+        val nBlocks = 6
+        val sizes = Array(11, 11, 11, 11, 10, 10)
+        val offsets = sizes.scanLeft(0)(_ + _)
+        def block(i: Int) =
+          shiftRightUnsigned($"simhash", offsets(i))
+            .bitwiseAND(lit((1L << sizes(i)) - 1))
+        val combos = for {
+          i <- 0 until nBlocks; j <- (i + 1) until nBlocks; k <- (j + 1) until nBlocks
+        } yield (i, j, k)
+        val keyExprs = combos.zipWithIndex.map { case ((i, j, k), c) =>
+          tagged(xxhash64(block(i), block(j), block(k), lit(c)), TagSimhash)
+        }
+        Seq(sigs.select(explode(array(keyExprs: _*)).as("key"), col(idCol)))
       } else Nil) ++
       (if (cfg.useSuffix)
         Seq(sigs.select(
@@ -104,8 +119,8 @@ object Blocking {
   /** Effective hot-key cap: the canopy stop-word rule max(1000, 5%·N)
     * (`canopy_index.py:25`) bounded by an absolute ceiling so a bucket's
     * within-task pair generation (O(cap²)) stays bounded at any N. */
-  def hotKeyCap(nDocs: Long, cfg: DedupConfig, absCap: Long = 2000L): Long =
-    math.min(absCap, math.max(cfg.hotKeyMin, (cfg.hotKeyFrac * nDocs).toLong))
+  def hotKeyCap(nDocs: Long, cfg: DedupConfig): Long =
+    math.min(cfg.hotKeyAbsCap, math.max(cfg.hotKeyMin, (cfg.hotKeyFrac * nDocs).toLong))
 
   /**
    * Candidate pair generation with hot-key capping.

@@ -163,6 +163,39 @@ object ConnectedComponents {
     }
   }
 
+  /** Driver-local whole-refilter fast path: [[graft.cluster.LocalClustering
+    * .refilteredComponents]] carries the exact reference semantics
+    * (golden-tested), and below the edge gate one collect + one in-JVM pass
+    * beats ~10 small distributed jobs per round. Labels = min member id,
+    * identical to the distributed path. */
+  private def localRefilter(scored: DataFrame, maxComponents: Int): DataFrame = {
+    import graft.cluster.LocalClustering
+    val spark = scored.sparkSession
+    val schema = scored.schema
+    val scoreIsFloat = schema("score").dataType ==
+      org.apache.spark.sql.types.FloatType
+    val edges = scored.select(col("a"), col("b"), col("score")).collect().map { r =>
+      LocalClustering.Edge[Any](r.get(0), r.get(1),
+        r.get(2).asInstanceOf[Number].doubleValue())
+    }.toSeq
+    implicit val anyOrd: Ordering[Any] = new Ordering[Any] {
+      def compare(x: Any, y: Any): Int = x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
+    val comps = LocalClustering.refilteredComponents[Any](edges, maxComponents)
+    val rows = comps.flatMap { comp =>
+      val label = comp.iterator.flatMap(e => Iterator(e.a, e.b)).min
+      comp.map { e =>
+        org.apache.spark.sql.Row(e.a, e.b,
+          if (scoreIsFloat) e.score.toFloat else (e.score: Any), label)
+      }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.take(3) :+
+        org.apache.spark.sql.types.StructField("comp", schema.head.dataType))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, outSchema)
+  }
+
   /**
    * `_connected_components` semantics (`clustering.py:51-94`): components
    * with more than `maxComponents` distinct nodes are re-thresholded at
@@ -172,12 +205,15 @@ object ConnectedComponents {
    * @param scored (a, b, score)
    * @return (a, b, score, comp)
    */
-  def withRefilter(scored: DataFrame, maxComponents: Int): DataFrame = {
+  def withRefilter(scored: DataFrame, maxComponents: Int,
+                   localEdgeThreshold: Long = LocalEdgeThreshold): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
 
     var done: Option[DataFrame] = None
     var pending = scored.localCheckpoint(true)
+    if (pending.count() <= localEdgeThreshold)
+      return localRefilter(pending, maxComponents)
     var rounds = 0
     while (pending != null && rounds < 20) {
       val assign = run(pending)

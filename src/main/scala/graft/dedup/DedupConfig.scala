@@ -16,6 +16,36 @@ package graft.dedup
  * passes (measured union recall 0.9998 on the bench corpus vs 1.0000 at
  * 32x4, with 7x fewer candidate pairs).
  */
+object DedupConfig {
+  /** Settings-file read-back (`StaticMatching`, `api.py:1036-1067`): parse a
+    * config.json written by [[DedupConfig.toJson]]. Used on pipeline resume
+    * to refuse mixing checkpoints produced under a different config. */
+  def fromJson(json: String): DedupConfig = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    DedupConfig(
+      version = m.get("version").asInt,
+      shingleK = m.get("shingleK").asInt,
+      numHashes = m.get("numHashes").asInt,
+      bands = m.get("bands").asInt,
+      seed = m.get("seed").asLong,
+      threshold = m.get("threshold").asDouble,
+      minScore = m.get("minScore").asDouble,
+      scoreMaxHamming = m.get("scoreMaxHamming").asInt,
+      hotKeyMin = m.get("hotKeyMin").asLong,
+      hotKeyFrac = m.get("hotKeyFrac").asDouble,
+      hotKeyAbsCap = if (m.has("hotKeyAbsCap")) m.get("hotKeyAbsCap").asLong else 50L,
+      maxComponents = m.get("maxComponents").asInt,
+      useSimHash = m.get("useSimHash").asBoolean,
+      simhashBands = m.get("simhashBands").asInt,
+      simhashMaxHamming = m.get("simhashMaxHamming").asInt,
+      useSuffix = m.get("useSuffix").asBoolean,
+      suffixWidth = m.get("suffixWidth").asInt,
+      suffixEvery = m.get("suffixEvery").asInt,
+      useExact = m.get("useExact").asBoolean,
+      exactIds = if (m.has("exactIds")) m.get("exactIds").asBoolean else false)
+  }
+}
+
 final case class DedupConfig(
     version: Int = 1,
     shingleK: Int = 5,
@@ -41,6 +71,13 @@ final case class DedupConfig(
       * (`canopy_index.py:25`), the single most important skew control. */
     hotKeyMin: Long = 1000L,
     hotKeyFrac: Double = 0.05,
+    /** Absolute ceiling on the stop-word rule: within-bucket pair generation
+      * is O(df²), and on realistic (Zipf-frequency) web text the number of
+      * mid-frequency content keys is large — Σ df² explodes without a hard
+      * ceiling. True duplicate pairs co-block on long-tail (df 2-5) keys, so
+      * a tight ceiling costs ~no recall (gated at 0.99 in tests) while
+      * bounding any bucket's pair fan-out at absCap²/2 (=1250 at the default 50). */
+    hotKeyAbsCap: Long = 50L,
     /** Component-size cap before score refiltering (`clustering.py:214`). */
     maxComponents: Int = 30000,
     /** SimHash secondary fingerprint: 64 bits split into `simhashBands`
@@ -69,7 +106,7 @@ final case class DedupConfig(
 
   def toJson: String =
     s"""{"version":$version,"shingleK":$shingleK,"numHashes":$numHashes,"bands":$bands,""" +
-      s""""seed":$seed,"threshold":$threshold,"minScore":$minScore,"scoreMaxHamming":$scoreMaxHamming,"hotKeyMin":$hotKeyMin,"hotKeyFrac":$hotKeyFrac,""" +
+      s""""seed":$seed,"threshold":$threshold,"minScore":$minScore,"scoreMaxHamming":$scoreMaxHamming,"hotKeyMin":$hotKeyMin,"hotKeyFrac":$hotKeyFrac,"hotKeyAbsCap":$hotKeyAbsCap,""" +
       s""""maxComponents":$maxComponents,"useSimHash":$useSimHash,"simhashBands":$simhashBands,""" +
       s""""simhashMaxHamming":$simhashMaxHamming,"useSuffix":$useSuffix,"suffixWidth":$suffixWidth,""" +
       s""""suffixEvery":$suffixEvery,"useExact":$useExact,"exactIds":$exactIds}"""

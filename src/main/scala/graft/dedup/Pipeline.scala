@@ -61,6 +61,26 @@ object Pipeline {
     import spark.implicits._
     val metrics = scala.collection.mutable.ArrayBuffer.empty[StageMetrics]
 
+    // settings read-back (api.py:1036-1067): resuming over checkpoints that
+    // were produced under a DIFFERENT config would silently mix semantics —
+    // refuse instead
+    workDir.foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir, "config.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        require(DedupConfig.fromJson(prev) == cfg,
+          s"workDir $dir holds checkpoints for a different config; " +
+            "use a fresh workDir or the original config. " +
+            s"stored=$prev current=${cfg.toJson}")
+      } else {
+        // written BEFORE any stage so a crash-resume is covered too
+        val out = fs.create(p, true)
+        out.write(cfg.toJson.getBytes("UTF-8")); out.close()
+      }
+    }
+
     def stage(name: String)(df: => DataFrame): DataFrame = {
       val out = workDir match {
         case Some(dir) => TableIO.checkpoint(spark, s"$dir/$name")(df)
@@ -150,12 +170,7 @@ object Pipeline {
         clusters.groupBy(spark_partition_id().as("partition"))
           .agg(count(lit(1)).as("rows")),
         s"$dir/lineage_clusters")
-      // config snapshot for reproducibility (settings-file analogue,
-      // api.py:1218-1233)
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(new org.apache.hadoop.fs.Path(dir, "config.json"), true)
-      out.write(cfg.toJson.getBytes("UTF-8")); out.close()
+      // (config.json already written before stage 1 — see the read-back guard)
     }
 
     clusters

@@ -118,5 +118,15 @@ class DedupPipelineSpec extends AnyFunSuite {
     val resumed = Pipeline.run(spark, pages.limit(0), cfg, Some(dir)) // input ignored where checkpoints exist
       .select($"url", $"cluster_id").as[(String, String)].collect().toMap
     assert(resumed == first)
+    // settings read-back (api.py:1036-1067): resuming under a DIFFERENT
+    // config must refuse rather than silently mix checkpoint semantics
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, pages, cfg.copy(threshold = 0.9), Some(dir))
+    }
+    assert(e.getMessage.contains("different config"))
+    // round trip of the settings codec itself
+    assert(DedupConfig.fromJson(cfg.toJson) == cfg)
+    assert(DedupConfig.fromJson(cfg.copy(exactIds = true, seed = 7L).toJson) ==
+      cfg.copy(exactIds = true, seed = 7L))
   }
 }

@@ -86,6 +86,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ll == Set((3L, 3L), (5L, 3L), (9L, 3L), (11L, 11L), (12L, 11L)))
   }
 
+  test("refilter local fast path and distributed loop produce identical output") {
+    val scored = Seq(
+      ("a", "b", 0.9), ("b", "c", 0.35), ("c", "d", 0.9), ("d", "e", 0.92),
+      ("x", "y", 0.8), ("p", "q", 0.55)
+    ).toDF("a", "b", "score")
+    val local = ConnectedComponents.withRefilter(scored, maxComponents = 3)
+      .as[(String, String, Double, String)].collect().toSet
+    val dist = ConnectedComponents.withRefilter(scored, maxComponents = 3,
+      localEdgeThreshold = 0)
+      .as[(String, String, Double, String)].collect().toSet
+    assert(local == dist, s"local=$local dist=$dist")
+  }
+
   test("CC neighbor-min aggregation is partially aggregated (map-side combine)") {
     val edges = Seq(("a", "b"), ("b", "c")).toDF("a", "b")
     // capture the aggregate shape of one iteration's building block
