@@ -25,9 +25,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle/spill on tmpfs: the sandbox's single shared-host disk is not a
+    // per-node NVMe; round 1 measured it serializing the whole bench at the
+    // disk's bandwidth (90s -> 30s for the same pipeline)
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark")
+    new java.io.File(localDir).mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.autoBroadcastJoinThreshold", "256m") // the ~15MB/10^6-doc
       // fingerprint map must broadcast reliably at bench scale (prod jobs set
