@@ -98,6 +98,7 @@ object SparkEntry {
     "ann_cosine_topk" -> (PipelineOps.annCosine _), // rows-only (float math)
     "gazette_search_empty_fill" -> (PipelineOps.gazetteSearchEmptyFill _),
     "training_pairs" -> (PipelineOps.trainingPairs _),
+    "training_pairs_link" -> (PipelineOps.trainingPairsLink _),
     "mm_binary_meta" -> (PipelineOps.mmBinaryMeta _),
     "canonical_rep" -> (PipelineOps.canonicalRep _) // rows-only (affine-gap centroid)
   )

@@ -44,6 +44,45 @@ object TrainingData {
         .cast("long") % nPairs).as("k"))
   }
 
+  /** `randomPairsMatch` decode (`convenience.py:60-77`): flat indices over
+    * the full A x B grid unravel as (i, j) = (k / nB, k % nB). */
+  def decodeMatchPairs(ks: DataFrame, nB: Long): DataFrame =
+    ks.select(expr(s"k div $nB").as("i"), expr(s"k % $nB").as("j"))
+
+  /**
+   * `training_data_link` (`convenience.py:219-278`): match pairs = cross-
+   * dataset pairs sharing the common key; distinct pairs = `sampleSize`
+   * decoded random (A, B) grid indices minus matches. Both record sets keep
+   * their own id spaces; output ids are (id_a from A, id_b from B).
+   */
+  def trainingDataLink(dataA: DataFrame, dataB: DataFrame, idCol: String,
+                       keyCol: String, sampleSize: Int = 500): DataFrame = {
+    val spark = dataA.sparkSession
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    val idxA = dataA.select(col(idCol)).distinct().withColumn("idx", row_number().over(w) - 1)
+    val idxB = dataB.select(col(idCol)).distinct().withColumn("idx", row_number().over(w) - 1)
+    val nA = idxA.count()
+    val nB = idxB.count()
+
+    val matched = dataA.select(col(idCol).as("id_a"), col(keyCol).as("key"))
+      .join(dataB.select(col(idCol).as("id_b"), col(keyCol).as("key")), Seq("key"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val ks = spark.range(sampleSize).select(
+      (conv(substring(md5(concat(lit("tl#"), col("id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % (nA * nB)).as("k"))
+    val decoded = decodeMatchPairs(ks, nB)
+      .join(idxA.select(col("idx").as("i"), col(idCol).as("id_a")), Seq("i"))
+      .join(idxB.select(col("idx").as("j"), col(idCol).as("id_b")), Seq("j"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val distinctPairs = decoded.join(matched, Seq("id_a", "id_b"), "left_anti")
+    matched.select(lit("match").as("label"), col("id_a"), col("id_b"))
+      .unionByName(distinctPairs.select(lit("distinct").as("label"), col("id_a"), col("id_b")))
+  }
+
   /**
    * `training_data_dedupe` (`convenience.py:295-351`): match pairs = all
    * within-common-key combinations (ids sorted within the pair); distinct

@@ -504,6 +504,32 @@ object OracleSql {
       SELECT 'distinct' AS label, d.id_a, d.id_b FROM decoded d
       WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.id_a = d.id_a AND m.id_b = d.id_b)""",
 
+    // training_data_link: match = cross-split key joins; distinct = 500
+    // hash-sampled A x B grid indices ((k // nB, k % nB)) minus matches
+    "training_pairs_link" -> s"""
+      WITH d AS (
+        SELECT doc_id, regexp_extract(text, '^([a-z0-9'']+)', 1) AS key
+        FROM documents WHERE regexp_extract(text, '^([a-z0-9'']+)', 1) <> ''),
+      a AS (SELECT doc_id, key, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+            FROM d WHERE doc_id % 2 = 0),
+      b AS (SELECT doc_id, key, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+            FROM d WHERE doc_id % 2 = 1),
+      params AS (SELECT (SELECT count(*) FROM a) AS na, (SELECT count(*) FROM b) AS nb),
+      matched AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM a JOIN b USING (key)),
+      ks AS (
+        SELECT CAST('0x' || substr(md5('tl#' || CAST(m AS VARCHAR)), 1, 15) AS BIGINT) % (na * nb) AS k
+        FROM generate_series(0, 499) t(m), params),
+      decoded AS (
+        SELECT DISTINCT ia.doc_id AS id_a, ib.doc_id AS id_b
+        FROM (SELECT k // nb AS i, k % nb AS j FROM ks, params) p
+        JOIN a ia ON p.i = ia.idx JOIN b ib ON p.j = ib.idx)
+      SELECT 'match' AS label, id_a, id_b FROM matched
+      UNION ALL
+      SELECT 'distinct' AS label, d.id_a, d.id_b FROM decoded d
+      WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.id_a = d.id_a AND m.id_b = d.id_b)""",
+
     "mm_binary_meta" -> s"""
       SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
              ${H60("text")} AS content_h

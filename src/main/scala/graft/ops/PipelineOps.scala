@@ -398,6 +398,18 @@ object PipelineOps {
     graft.dedup.TrainingData.trainingDataDedupe(d, "doc_id", "key", sampleSize = 500)
   }
 
+  /** `training_data_link` over even/odd splits of the documents table
+    * (convenience.py:219-278): common key = first token, 500 deterministic
+    * grid-decoded distinct samples. */
+  def trainingPairsLink(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      regexp_extract(col("text"), "^([a-z0-9']+)", 1).as("key"))
+      .filter(col("key") =!= "")
+    graft.dedup.TrainingData.trainingDataLink(
+      d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+      "doc_id", "key", sampleSize = 500)
+  }
+
   // ---------------------------------------------------------- multimodal
 
   /** Binary-column metadata pass: treat the payload as an opaque blob with

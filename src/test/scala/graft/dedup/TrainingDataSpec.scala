@@ -24,6 +24,23 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(pairs.distinct.length == pairs.length, "decode must be a bijection")
   }
 
+  test("randomPairsMatch grid decode + training_data_link (convenience.py:60-77,219-278)") {
+    // full 3x4 grid decodes to every (i, j)
+    val all = (0L until 12L).toDF("k")
+    val got = TrainingData.decodeMatchPairs(all, 4).as[(Long, Long)].collect().toSet
+    assert(got == (for { i <- 0L until 3L; j <- 0L until 4L } yield (i, j)).toSet)
+    // link semantics
+    val a = Seq((2L, "k1"), (4L, "k2"), (6L, "k3")).toDF("doc_id", "key")
+    val b = Seq((1L, "k1"), (3L, "k1"), (5L, "k9")).toDF("doc_id", "key")
+    val td = TrainingData.trainingDataLink(a, b, "doc_id", "key", sampleSize = 20)
+      .as[(String, Long, Long)].collect()
+    val matches = td.filter(_._1 == "match").map(t => (t._2, t._3)).toSet
+    assert(matches == Set((2L, 1L), (2L, 3L)))
+    val distincts = td.filter(_._1 == "distinct").map(t => (t._2, t._3)).toSet
+    assert((matches & distincts).isEmpty)
+    assert(distincts.forall { case (x, y) => Set(2L, 4L, 6L)(x) && Set(1L, 3L, 5L)(y) })
+  }
+
   test("training_data_dedupe: match pairs within common key, distinct disjoint (convenience.py:295-351)") {
     val data = Seq(
       (1L, "g1"), (2L, "g1"), (3L, "g1"),
