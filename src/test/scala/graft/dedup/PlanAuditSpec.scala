@@ -86,6 +86,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ll == Set((3L, 3L), (5L, 3L), (9L, 3L), (11L, 11L), (12L, 11L)))
   }
 
+  test("scoring verify joins hash the shingle side — arrays are never sort-merged") {
+    val pages = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".cast("string").as("url"), $"text")
+    val sigs = Blocking.signatures(pages, DedupConfig())
+    val pairs = Seq(("1", "2"), ("3", "4")).toDF("a", "b")
+    val plan = Scoring.scorePairs(pairs, sigs, minScore = 0.3, maxHamming = 16)
+      .queryExecution.executedPlan.toString
+    // the array-carrying sigs side must be hash-joined (broadcast or
+    // shuffled-hash): a sort-merge join would sort KB array payloads —
+    // measured 743 of 961 core-seconds of the verify stage in round 2
+    assert(!plan.contains("SortMergeJoin"), s"arrays sort-merged:\n$plan")
+  }
+
   test("refilter local fast path and distributed loop produce identical output") {
     val scored = Seq(
       ("a", "b", 0.9), ("b", "c", 0.35), ("c", "d", 0.9), ("d", "e", 0.92),
