@@ -107,6 +107,44 @@ class OpsSpec extends AnyFunSuite {
     assert(r4("q4") == ((None, None)), "empty index must still surface the query")
   }
 
+  test("streaming exact dedup: watermarked first-per-fingerprint + windowed dup stats") {
+    import graft.streaming.StreamingDedup
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1735689600000L
+    def ts(min: Long) = new Timestamp(t0 + min * 60000L)
+
+    val stream = MemoryStream[(String, Timestamp, String)]
+    stream.addData(
+      ("u1", ts(0), "alpha beta gamma delta"),
+      ("u2", ts(1), "ALPHA  beta gamma delta"), // same after normalize -> dup
+      ("u3", ts(2), "completely different content here"),
+      ("u4", ts(3), "alpha beta gamma delta") // dup again
+    )
+    val dedup = StreamingDedup.exactDedupStream(
+      stream.toDF().toDF("url", "warc_ts", "text"), watermark = "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("sd_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("sd_out").select($"url").as[String].collect().toSet
+    assert(kept.contains("u3"))
+    assert((kept & Set("u1", "u2", "u4")).size == 1, s"exactly one of the dups must survive: $kept")
+
+    val stream2 = MemoryStream[(String, Timestamp, String)]
+    stream2.addData(
+      ("u1", ts(0), "alpha beta gamma delta"),
+      ("u2", ts(5), "alpha beta gamma delta"),
+      ("u3", ts(7), "unique page content"),
+      ("u4", ts(200), "late window closer page")) // advances watermark past window 1
+    val stats = StreamingDedup.windowedDupStats(
+      stream2.toDF().toDF("url", "warc_ts", "text"), window = "1 hour", watermark = "1 hour")
+    val q2 = stats.writeStream.format("memory").queryName("sd_stats")
+      .outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.table("sd_stats").select($"n_pages").as[Long].collect()
+    assert(rows.toSeq == Seq(2L), s"one dup fingerprint with 2 pages expected: ${rows.toSeq}")
+  }
+
   test("multimodal extract: partition-batched decode stub over binary column") {
     val pages = WebText.synthetic(spark, 20).toDF().select($"url", $"html")
     val metas = Multimodal.extract(pages).collect()
