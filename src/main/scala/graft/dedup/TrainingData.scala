@@ -44,6 +44,48 @@ object TrainingData {
         .cast("long") % nPairs).as("k"))
   }
 
+  /** Training-file sink (`serializer.py:52-77`, `api.py:1199-1215`
+    * `write_training`): one JSON document `{"match": [[a,b]...],
+    * "distinct": [[a,b]...]}`. The reference stores full records; this port
+    * stores record ids (records live in the input table — web-scale training
+    * files must not duplicate page payloads). Training sets are capped small
+    * by construction (50k in the reference), so a driver-side write is the
+    * right shape. */
+  def writeTrainingJson(pairs: DataFrame, path: String): Unit = {
+    val spark = pairs.sparkSession
+    val byLabel = pairs.select(col("label"), col("id_a").cast("string"),
+      col("id_b").cast("string"))
+      .collect()
+      .groupBy(_.getString(0))
+    def arr(label: String): String =
+      byLabel.getOrElse(label, Array.empty)
+        .map(r => s"""["${r.getString(1)}","${r.getString(2)}"]""")
+        .sorted.mkString("[", ",", "]")
+    val json = s"""{"match":${arr("match")},"distinct":${arr("distinct")}}"""
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(json.getBytes("UTF-8")); out.close()
+  }
+
+  /** Training-file source (`read_training`, `api.py:1181-1196`): parse the
+    * JSON written by [[writeTrainingJson]] back to (label, id_a, id_b). */
+  def readTrainingJson(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    import scala.jdk.CollectionConverters._
+    val rows = Seq("match", "distinct").flatMap { label =>
+      Option(root.get(label)).toSeq.flatMap(_.elements().asScala.map { pair =>
+        (label, pair.get(0).asText, pair.get(1).asText)
+      })
+    }
+    import spark.implicits._
+    rows.toDF("label", "id_a", "id_b")
+  }
+
   /** `randomPairsMatch` decode (`convenience.py:60-77`): flat indices over
     * the full A x B grid unravel as (i, j) = (k / nB, k % nB). */
   def decodeMatchPairs(ks: DataFrame, nB: Long): DataFrame =

@@ -24,6 +24,20 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(pairs.distinct.length == pairs.length, "decode must be a bijection")
   }
 
+  test("training file JSON sink/source round trip (serializer.py:52-77, api.py:1181-1215)") {
+    val data = Seq((1L, "g1"), (2L, "g1"), (3L, "g2"), (4L, "g2"), (5L, "g3"))
+      .toDF("doc_id", "entity")
+    val td = TrainingData.trainingDataDedupe(data, "doc_id", "entity", sampleSize = 10)
+    val path = java.nio.file.Files.createTempDirectory("tj").toString + "/training.json"
+    TrainingData.writeTrainingJson(td, path)
+    val back = TrainingData.readTrainingJson(spark, path)
+      .as[(String, String, String)].collect().toSet
+    val orig = td.as[(String, Long, Long)].collect()
+      .map(t => (t._1, t._2.toString, t._3.toString)).toSet
+    assert(back == orig)
+    assert(back.exists(_._1 == "match") && back.exists(_._1 == "distinct"))
+  }
+
   test("randomPairsMatch grid decode + training_data_link (convenience.py:60-77,219-278)") {
     // full 3x4 grid decodes to every (i, j)
     val all = (0L until 12L).toDF("k")
