@@ -152,37 +152,20 @@ object Blocking {
     val totalKeys = stats.getLong(1)
     val hot = counts.filter($"df" > cap).select($"key")
 
-    // hot keys dropped BEFORE any member collection (stop-word rule):
+    // hot keys dropped BEFORE any pair generation (stop-word rule):
     // a mega-bucket never materializes anywhere
     val kept = keys.join(broadcast(hot), Seq("key"), "left_anti")
 
-    // within-bucket pair generation; bucket size bounded by `cap`.
-    // Compact long ids take the allocation-light path (primitive array sort,
-    // no boxing in the inner loop); string ids are supported for the
-    // operator-catalog surface.
-    val buckets = kept
-      .groupBy($"key")
-      .agg(collect_set(col(idCol)).as("members"))
-      .filter(size($"members") >= 2)
-      .select($"members")
-    val pairs = keys.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        buckets.as[Array[Long]].flatMap { members =>
-          java.util.Arrays.sort(members)
-          for {
-            i <- members.indices.iterator
-            j <- (i + 1) until members.length
-          } yield (members(i), members(j))
-        }.toDF("a", "b")
-      case _ =>
-        buckets.as[Array[String]].flatMap { members =>
-          java.util.Arrays.sort(members.asInstanceOf[Array[AnyRef]])
-          for {
-            i <- members.indices.iterator
-            j <- (i + 1) until members.length
-          } yield (members(i), members(j))
-        }.toDF("a", "b")
-    }
+    // Within-key pair generation as an equi-self-join with `a < b` — stays
+    // in whole-stage codegen end to end. (Round 1 used groupBy +
+    // collect_set + a typed flatMap; the ObjectHashAggregate's per-bucket
+    // array allocation measured ~2x slower than the codegen'd join, and
+    // per-key output fan-out is the same either way: bounded by cap²/2,
+    // with AQE skew-split available above that.)
+    val pairs = kept.as("x")
+      .join(kept.as("y"),
+        col("x.key") === col("y.key") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
 
     // `dedup = false` defers the global distinct to after the (cheap,
     // broadcast) SimHash prefilter in Scoring — dedup-ing 10-100x fewer rows
