@@ -80,10 +80,15 @@ final case class DedupConfig(
     hotKeyAbsCap: Long = 50L,
     /** Component-size cap before score refiltering (`clustering.py:214`). */
     maxComponents: Int = 30000,
-    /** SimHash secondary fingerprint: 64 bits split into `simhashBands`
-      * chunks; docs sharing a chunk AND within `simhashMaxHamming` become
-      * candidates (pigeonhole: catches all pairs with < simhashBands
-      * differing chunks). */
+    /** SimHash secondary fingerprint. `useSimHash` gates the flagship
+      * blocking pass, whose key scheme is FIXED: Manku 6-block/choose-3
+      * combination keys with a pigeonhole guarantee of hamming <= 3
+      * (see [[Blocking.blockKeys]]) — `simhashBands`/`simhashMaxHamming` do
+      * NOT parameterize it. The two fields govern only the standalone
+      * verified-pair helper [[Blocking.simhashPairs]]: 64 bits split into
+      * `simhashBands` chunks, pairs sharing a chunk kept when within
+      * `simhashMaxHamming` (pigeonhole: catches all pairs with
+      * < simhashBands differing chunks). */
     useSimHash: Boolean = true,
     simhashBands: Int = 4,
     simhashMaxHamming: Int = 3,

@@ -57,9 +57,13 @@ object TrainingData {
       col("id_b").cast("string"))
       .collect()
       .groupBy(_.getString(0))
+    // ids are serialized through Jackson, not interpolated raw: an id holding
+    // a quote or backslash (urls do) must round-trip through readTrainingJson
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def jstr(s: String): String = mapper.writeValueAsString(s)
     def arr(label: String): String =
       byLabel.getOrElse(label, Array.empty)
-        .map(r => s"""["${r.getString(1)}","${r.getString(2)}"]""")
+        .map(r => s"""[${jstr(r.getString(1))},${jstr(r.getString(2))}]""")
         .sorted.mkString("[", ",", "]")
     val json = s"""{"match":${arr("match")},"distinct":${arr("distinct")}}"""
     val p = new org.apache.hadoop.fs.Path(path)

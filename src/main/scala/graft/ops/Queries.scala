@@ -95,15 +95,6 @@ object Queries {
       concat_ws("", array_sort(array_distinct(
         regexp_extract_all(translate(col("text"), " ", ""), lit("."), lit(0))))).as("key"))
 
-  /** Char n-grams of the despaced text: transform over a sequence of starts. */
-  private def charNgrams(c: Column, n: Int): Column = {
-    val despaced = translate(c, " ", "")
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(despaced) - (n - 1), lit(0))),
-      i => substring(despaced, lit(1), lit(0)) // placeholder, replaced below
-    ))
-  }
-
   // despaced text projected ONCE, outside the per-gram lambda (inside the
   // lambda it would be re-evaluated per element)
   private def despacedGramKeys(s: SparkSession, dir: String, n: Int): DataFrame =

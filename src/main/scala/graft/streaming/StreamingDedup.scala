@@ -26,9 +26,17 @@ import graft.expr.{functions => gf}
  */
 object StreamingDedup {
 
-  /** Normalized whole-text fingerprint column (batch blocking's exact key). */
-  private def contentHash(text: org.apache.spark.sql.Column) =
-    xxhash64(gf.normalize_text(text))
+  /** Normalized text + fingerprint columns (batch blocking's exact key).
+    * The null filter runs on the NORMALIZED text, before hashing — xxhash64
+    * never returns null (a null input hashes to the seed), so filtering the
+    * hash would be dead code and every null/whitespace-only page would share
+    * fingerprint 42 and be silently deduped against the others. Matching the
+    * batch pipeline, such pages are excluded from the dedup state entirely. */
+  private def withContentHash(df: DataFrame): DataFrame =
+    df.withColumn("norm", gf.normalize_text(col("text")))
+      .filter(col("norm").isNotNull)
+      .withColumn("content_h", xxhash64(col("norm")))
+      .drop("norm")
 
   /**
    * First page per content fingerprint within the watermark horizon.
@@ -36,9 +44,7 @@ object StreamingDedup {
    * @param watermark event-time horizon, e.g. "1 hour"
    */
   def exactDedupStream(stream: DataFrame, watermark: String): DataFrame =
-    stream
-      .withColumn("content_h", contentHash(col("text")))
-      .filter(col("content_h").isNotNull)
+    withContentHash(stream)
       .withWatermark("warc_ts", watermark)
       .dropDuplicatesWithinWatermark("content_h")
       .select(col("url"), col("warc_ts"), col("content_h"))
@@ -49,9 +55,7 @@ object StreamingDedup {
    * @param window e.g. "1 hour"; @param watermark e.g. "2 hours"
    */
   def windowedDupStats(stream: DataFrame, window: String, watermark: String): DataFrame =
-    stream
-      .withColumn("content_h", contentHash(col("text")))
-      .filter(col("content_h").isNotNull)
+    withContentHash(stream)
       .withWatermark("warc_ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("warc_ts"), window),
         col("content_h"))

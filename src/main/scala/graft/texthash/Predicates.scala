@@ -10,7 +10,7 @@ import scala.collection.immutable.SortedSet
  * function), validated against the golden values in
  * `tests/test_predicate_functions.py`. These feed (a) golden parity specs,
  * (b) the in-JVM small-scale oracle, and (c) cross-checks of the Column
- * (Catalyst) implementations in [[graft.ops.PredicateColumns]].
+ * (Catalyst) implementations in [[graft.ops.Queries]].
  */
 object Predicates {
 
