@@ -52,7 +52,11 @@ object SparkEntry {
     "pred_suffix_array" -> (Queries.predSuffixArray _),
     "pred_sorted_acronym" -> (Queries.predSortedAcronym _),
     "pred_common_two_tokens" -> (Queries.predCommonTwoTokens _),
+    "pred_common_three_tokens" -> (Queries.predCommonThreeTokens _),
     "pred_common_two_elements" -> (Queries.predCommonTwoElements _),
+    "pred_common_three_elements" -> (Queries.predCommonThreeElements _),
+    "pred_whole_field" -> (Queries.predWholeField _),
+    "pred_whole_set" -> (Queries.predWholeSet _),
     "pred_first_last_set_element" -> (Queries.predFirstLastSetElement _),
     "pred_magnitude_cardinality" -> (Queries.predMagnitudeOfCardinality _),
     "pred_exists" -> (Queries.predExists _),
@@ -68,6 +72,8 @@ object SparkEntry {
     "score_features" -> (PipelineOps.scoreFeatures _),
     "score_lr_sigmoid" -> (PipelineOps.scoreLrSigmoid _),
     "score_geo_price" -> (PipelineOps.scoreGeoPrice _),
+    "score_cosine_tfidf" -> (PipelineOps.scoreCosineTfidf _),
+    "score_cosine_set" -> (PipelineOps.scoreCosineSet _),
     // clustering (§2.5)
     "cluster_cc" -> (Queries.clusterConnectedComponents _),
     "cluster_gazette_topn" -> (Queries.clusterGazetteTopN _),

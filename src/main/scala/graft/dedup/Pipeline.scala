@@ -26,29 +26,36 @@ object Pipeline {
 
   final case class StageMetrics(stage: String, rows: Long, partitions: Int, hotKeysDropped: Long = -1L)
 
-  /** Collision-free dense record ids: nid = global rank of url. Scalable
-    * shape — range partitioning orders the partitions, the rank window is
-    * partition-LOCAL (never a single-task global sort), and the per-partition
-    * offsets are a tiny broadcast — the standard distributed dense-id
-    * assignment. Deterministic for a given url set regardless of input
-    * partitioning or sampling, because rank-in-global-order is. */
-  def exactIdTable(spark: SparkSession, urls: DataFrame): DataFrame = {
-    import spark.implicits._
+  /** Dense 0-based global rank of `idCol` (distinct values) as `outCol` —
+    * the scalable dense-id assignment: range partitioning orders the
+    * partitions, the rank window is partition-LOCAL (never a single-task
+    * global sort), and per-partition offsets come from a prefix sum over the
+    * tiny per-partition count table (a triangular self-join on partition id,
+    * O(partitions²) rows — no no-partition WindowExec anywhere in the plan).
+    * Deterministic for a given value set regardless of input partitioning,
+    * because rank-in-global-order is. */
+  def denseRank(ids: DataFrame, idCol: String, outCol: String): DataFrame = {
+    val id = col(idCol)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"pid").orderBy($"url")
-    val withPos = urls.select($"url").distinct()
-      .repartitionByRange($"url")
-      .sortWithinPartitions($"url")
+      .partitionBy(col("pid")).orderBy(id)
+    val withPos = ids.select(id).distinct()
+      .repartitionByRange(id)
+      .sortWithinPartitions(id)
       .withColumn("pid", spark_partition_id())
       .withColumn("pos", row_number().over(w))
-    val wOff = org.apache.spark.sql.expressions.Window
-      .orderBy($"pid").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = withPos.groupBy($"pid").agg(count(lit(1)).as("cnt"))
-      .withColumn("offset", coalesce(sum($"cnt").over(wOff), lit(0L)))
-      .select($"pid", $"offset")
+    val cnts = withPos.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+    val offsets = cnts.select(col("pid"), col("cnt"))
+      .join(cnts.select(col("pid").as("pid2"), col("cnt").as("cnt2")),
+        col("pid2") < col("pid"), "left")
+      .groupBy(col("pid")).agg(coalesce(sum(col("cnt2")), lit(0L)).as("offset"))
     withPos.join(broadcast(offsets), Seq("pid"))
-      .select($"url", ($"offset" + $"pos" - 1).as("nid"))
+      .select(id, (col("offset") + col("pos") - 1).as(outCol))
   }
+
+  /** Collision-free dense record ids: nid = global rank of url (see
+    * [[denseRank]]). */
+  def exactIdTable(spark: SparkSession, urls: DataFrame): DataFrame =
+    denseRank(urls, "url", "nid")
 
   /**
    * Run (or resume) the full pipeline.

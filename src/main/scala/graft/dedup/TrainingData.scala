@@ -104,9 +104,10 @@ object TrainingData {
   def trainingDataLink(dataA: DataFrame, dataB: DataFrame, idCol: String,
                        keyCol: String, sampleSize: Int = 500): DataFrame = {
     val spark = dataA.sparkSession
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
-    val idxA = dataA.select(col(idCol)).distinct().withColumn("idx", row_number().over(w) - 1)
-    val idxB = dataB.select(col(idCol)).distinct().withColumn("idx", row_number().over(w) - 1)
+    // sorted-order dense index per side — range-partitioned rank
+    // (Pipeline.denseRank), never a single-task global Window.orderBy
+    val idxA = Pipeline.denseRank(dataA.select(col(idCol)), idCol, "idx")
+    val idxB = Pipeline.denseRank(dataB.select(col(idCol)), idCol, "idx")
     val nA = idxA.count()
     val nB = idxB.count()
 
@@ -144,12 +145,11 @@ object TrainingData {
     val ids = data.select(col(idCol)).distinct()
     val n = ids.count()
     // index <-> id mapping in sorted-id order (the reference's
-    // unique_record_ids list; sorted for determinism). The global window is
-    // acceptable here because training samples are capped (50k in the
-    // reference); the flagship pipeline's dense-id path does the same job
-    // scalably via range partitioning (Pipeline.exactIdTable).
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
-    val indexed = ids.withColumn("idx", row_number().over(w) - 1)
+    // unique_record_ids list; sorted for determinism) via the
+    // range-partitioned rank — a single-task global Window.orderBy would
+    // sort EVERY distinct id on one task even though the input here is the
+    // uncapped table, not the reference's 50k training sample
+    val indexed = Pipeline.denseRank(ids, idCol, "idx")
 
     val matched = data.select(col(idCol).as("id_a"), col(keyCol).as("key"))
       .join(data.select(col(idCol).as("id_b"), col(keyCol).as("key")), Seq("key"))

@@ -20,6 +20,7 @@ object Exprs {
 
   private val K = "graft.expr.Kernels"
   private val longArray = ArrayType(LongType, containsNull = false)
+  private val intArray = ArrayType(IntegerType, containsNull = false)
 
   /** Reference-parity text normalization (`benchmarks/common.py:12-19`). */
   case class NormalizeText(child: Expression)
@@ -39,10 +40,13 @@ object Exprs {
       copy(child = newChild)
   }
 
-  /** Sorted-distinct xxhash64 char-k-shingles (`cpredicates.pyx:24-42` semantics). */
+  /** Sorted-distinct xxhash64 char-k-shingles (`cpredicates.pyx:24-42`
+    * semantics), truncated to 32 bits and shipped as array<int> — HALF the
+    * raw bytes of array<bigint> through the verify exchange, the pipeline's
+    * bandwidth-bound stage (see [[graft.texthash.TextHash.ShingleMask]]). */
   case class CharShingleHashes(child: Expression, k: Int, seed: Long)
       extends UnaryExpression {
-    override def dataType: DataType = longArray
+    override def dataType: DataType = intArray
     override def nullSafeEval(s: Any): Any =
       Kernels.shingleHashes(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, seed)
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

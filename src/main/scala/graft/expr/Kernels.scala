@@ -22,7 +22,7 @@ object Kernels {
     new GenericArrayData(TextHash.shingleHashes(s.toString, k, seed))
 
   def minhashSignature(shingles: ArrayData, numHashes: Int, seed: Long): ArrayData =
-    new GenericArrayData(TextHash.minhashSignature(shingles.toLongArray(), numHashes, seed))
+    new GenericArrayData(TextHash.minhashSignature(shingles.toIntArray(), numHashes, seed))
 
   def bandKeys(sig: ArrayData, bands: Int): ArrayData =
     new GenericArrayData(TextHash.bandKeys(sig.toLongArray(), bands))
@@ -33,7 +33,7 @@ object Kernels {
   def hamming64(a: Long, b: Long): Int = TextHash.hamming64(a, b)
 
   def jaccardSorted(a: ArrayData, b: ArrayData): Double =
-    TextHash.jaccardSorted(a.toLongArray(), b.toLongArray())
+    TextHash.jaccardSorted(a.toIntArray(), b.toIntArray())
 
   def suffixKeys(s: UTF8String, w: Int, every: Int, seed: Long): ArrayData =
     new GenericArrayData(TextHash.suffixKeys(s.toString, w, every, seed))

@@ -69,4 +69,78 @@ object Comparators {
       when(px && py, 1L).otherwise(0L),
       when((px || py) && !(px && py), 1L).otherwise(0L))
   }
+
+  // ---------------------------------------------- TF-IDF cosine comparators
+
+  import org.apache.spark.sql.DataFrame
+
+  /**
+   * Per-(doc, term) integer TF-IDF weights — the distributed corpus stage of
+   * `CosineTextSimilarity` / `CosineSetSimilarity` (`variables/string.py:103-109`,
+   * `variables/set.py:31-36`; the reference wraps the `simplecosine` package,
+   * which builds per-term corpus idf weights and compares docs by weighted
+   * cosine).
+   *
+   * Spark-first shape: the corpus pass is a term-exploded `groupBy(term)`
+   * document-frequency table (one shuffle, map-side combined) joined back to
+   * the per-doc term counts — never a driver-held vocabulary. idf uses the
+   * smoothed form idf(t) = ln((N+1)/(df(t)+1)) + 1 and is quantized to
+   * integers (x1000) so every downstream aggregation is an EXACT integer sum:
+   * results are bit-identical across engines and partition orders (scaling
+   * the weights multiplies both dot and norms, so cosine is unchanged up to
+   * the quantization granularity).
+   *
+   * @param docs (idCol, termsCol: array<string>)
+   * @param nDocs corpus size N
+   * @param setSemantics true -> tf is 0/1 over distinct terms
+   *                     (CosineSetSimilarity); false -> term counts
+   * @param weighted false -> no idf (the reference's corpus-less variant):
+   *                 w = tf exactly
+   * @return (idCol, term, w: long)
+   */
+  def tfidfWeights(docs: DataFrame, idCol: String, termsCol: String, nDocs: Long,
+                   setSemantics: Boolean = false, weighted: Boolean = true): DataFrame = {
+    val exploded = docs.select(col(idCol), explode(col(termsCol)).as("term"))
+    val tf =
+      if (setSemantics) exploded.distinct().withColumn("tf", lit(1L))
+      else exploded.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    if (!weighted)
+      tf.select(col(idCol), col("term"), col("tf").cast("long").as("w"))
+    else {
+      val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val idfQ = floor(lit(1000.0) *
+        (log(lit((nDocs + 1).toDouble) / (col("df") + lit(1)).cast("double")) + lit(1.0)))
+      tf.join(dfTab, Seq("term"))
+        .select(col(idCol), col("term"), (col("tf") * idfQ).cast("long").as("w"))
+    }
+  }
+
+  /**
+   * Weighted cosine similarity for candidate pairs over a [[tfidfWeights]]
+   * table: dot = equi-join of the two sides' (id, term, w) rows on the term
+   * (per-pair cost O(doc terms) — the same work the reference spends per
+   * compared pair, distributed); norms = per-doc integer aggregates. Pairs
+   * with no common term keep cosine 0 (left join). All sums are integer, so
+   * the single double division at the end is deterministic.
+   *
+   * @param pairs (id_a, id_b)
+   * @return (id_a, id_b, cosine: double in [0, 1])
+   */
+  def cosineTfidf(pairs: DataFrame, weights: DataFrame, idCol: String): DataFrame = {
+    val norm = weights.groupBy(col(idCol)).agg(sum(col("w") * col("w")).as("norm2"))
+    val wa = weights.select(col(idCol).as("id_a"), col("term"), col("w").as("w_a"))
+    val wb = weights.select(col(idCol).as("id_b"), col("term"), col("w").as("w_b"))
+    val dot = pairs.join(wa, Seq("id_a"))
+      .join(wb, Seq("id_b", "term"))
+      .groupBy(col("id_a"), col("id_b")).agg(sum(col("w_a") * col("w_b")).as("dot"))
+    pairs
+      .join(dot, Seq("id_a", "id_b"), "left")
+      .join(norm.select(col(idCol).as("id_a"), col("norm2").as("n_a")), Seq("id_a"))
+      .join(norm.select(col(idCol).as("id_b"), col("norm2").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        // clamp: sqrt(n)*sqrt(n) can exceed n by an ulp, pushing a
+        // self-pair's cosine to 1 + 2e-16; cap at exactly 1.0
+        least(lit(1.0), coalesce(col("dot"), lit(0L)).cast("double") /
+          (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double")))).as("cosine"))
+  }
 }

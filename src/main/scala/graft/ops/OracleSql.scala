@@ -16,6 +16,41 @@ object OracleSql {
   private val TWO_TOKEN_KEY =
     "regexp_extract(text, '^([a-z0-9'']+[^a-z0-9'']+[a-z0-9'']+)', 1)"
 
+  /** TF-IDF cosine over blocked pairs; mirrors Comparators.tfidfWeights /
+    * cosineTfidf exactly (same idf quantization, same float op order). */
+  private def cosineSql(setSemantics: Boolean): String = {
+    val tf =
+      if (setSemantics)
+        s"""SELECT DISTINCT doc_id, term, 1 AS tf FROM
+              (SELECT doc_id, unnest($TOKS) AS term FROM documents)"""
+      else
+        s"""SELECT doc_id, term, count(*) AS tf FROM
+              (SELECT doc_id, unnest($TOKS) AS term FROM documents)
+            GROUP BY doc_id, term"""
+    s"""
+      WITH n AS (SELECT count(*) AS n FROM documents),
+      tf AS ($tf),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      w AS (SELECT doc_id, tf.term AS term,
+              tf.tf * CAST(floor(1000.0 * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0)) AS BIGINT) AS w
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+      nrm AS (SELECT doc_id, sum(w * w) AS norm2 FROM w GROUP BY doc_id),
+      k AS (SELECT doc_id, $TWO_TOKEN_KEY AS key FROM documents),
+      p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
+            WHERE a.key <> ''),
+      dot AS (SELECT p.id_a, p.id_b, sum(wa.w * wb.w) AS dot
+              FROM p JOIN w wa ON wa.doc_id = p.id_a
+                     JOIN w wb ON wb.doc_id = p.id_b AND wb.term = wa.term
+              GROUP BY p.id_a, p.id_b)
+      SELECT p.id_a, p.id_b,
+        CAST(floor(100000.0 * least(1.0, COALESCE(dot.dot, 0) /
+          (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))))) AS BIGINT) AS cosine_q
+      FROM p LEFT JOIN dot ON p.id_a = dot.id_a AND p.id_b = dot.id_b
+      JOIN nrm na ON na.doc_id = p.id_a
+      JOIN nrm nb ON nb.doc_id = p.id_b"""
+  }
+
   private val SCORE_JACCARD_CTE = s"""
     WITH d AS (
       SELECT doc_id, list_distinct($TOKS) AS t, $TWO_TOKEN_KEY AS key FROM documents)
@@ -155,6 +190,29 @@ object OracleSql {
         list_transform(generate_series(1, greatest(len(t) - 1, 0)),
                        i -> t[i] || ' ' || t[i+1]))) AS key
       FROM (SELECT doc_id, list_sort(list_distinct($TOKS)) AS t FROM documents)""",
+
+    "pred_common_three_tokens" -> """
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS key
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3""",
+
+    "pred_common_three_elements" -> s"""
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS key
+      FROM (SELECT doc_id, list_sort(list_distinct($TOKS)) AS t FROM documents)
+      WHERE len(t) >= 3""",
+
+    "pred_whole_field" -> """
+      SELECT doc_id, text AS key FROM documents
+      WHERE text IS NOT NULL AND text <> ''""",
+
+    "pred_whole_set" -> s"""
+      SELECT doc_id,
+        '(' || array_to_string(list_sort(list_distinct($TOKS)), ', ') || ')' AS key
+      FROM documents""",
 
     "pred_first_last_set_element" -> s"""
       SELECT doc_id, list_aggregate($TOKS, 'min') AS first_el,
@@ -476,6 +534,11 @@ object OracleSql {
         CASE WHEN pa AND pb THEN 1 ELSE 0 END AS ex_d1,
         CASE WHEN (pa OR pb) AND NOT (pa AND pb) THEN 1 ELSE 0 END AS ex_d2
       FROM p""",
+
+    // TF-IDF cosine: idf quantized to ints (x1000) so dot/norms are exact
+    // integer sums; the one double division at the end is deterministic
+    "score_cosine_tfidf" -> cosineSql(setSemantics = false),
+    "score_cosine_set" -> cosineSql(setSemantics = true),
 
     // training_data_dedupe: match = within-key combinations; distinct = 500
     // hash-sampled triangular-decoded pairs minus matches (i*(b+i+2) is

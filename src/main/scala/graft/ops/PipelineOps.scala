@@ -181,26 +181,44 @@ object PipelineOps {
 
   // ------------------------------------------------------ similarity search
 
+  /** Hyperplane component row for bit `i`: a deterministic pseudo-random
+    * integer in [-1000, 1000] per dimension, derived from the md5 of
+    * "hp#i#d" (d 1-based) — the IDENTICAL derivation the DuckDB oracle
+    * evaluates in SQL, so cell assignment stays bit-exact across engines.
+    * Computed ONCE on the driver and inlined as literal arrays; round 2
+    * evaluated the md5 inside the row expression, costing bits x dims
+    * digest calls per indexed row. */
+  private def hyperplane(i: Int, dims: Int): Array[Long] =
+    Array.tabulate(dims) { d0 =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hp#$i#${d0 + 1}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex15 = digest.map("%02x".format(_)).mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex15, 16) % 2001L) - 1000L
+    }
+
   /** 4-bit random-hyperplane LSH cell over a quantized integer embedding
-    * column named `q`. Hyperplane component (i, d) is a deterministic
-    * pseudo-random integer in [-1000, 1000] derived from the md5-based
-    * portable hash of "hp#i#d" — exact integer dot products, so the cell
-    * assignment is bit-identical across engines. (At production scale the
-    * bits x dims matrix would be precomputed and broadcast instead of
-    * re-hashed per row; the candidate-join shape is identical.) */
-  private def lshCell: Column = {
-    def bit(i: Int): Column = when(expr(
-      s"""aggregate(transform(q, (x, d) ->
-            x * ((cast(conv(substring(md5(concat('hp#$i#', cast(d + 1 as string))), 1, 15), 16, 10) as bigint) % 2001) - 1000)),
-          0L, (acc, v) -> acc + v)""") >= 0, lit(1)).otherwise(lit(0))
+    * column named `q`: sign of the exact integer dot product against each
+    * precomputed [[hyperplane]] row (zip_with + aggregate — codegen'd, no
+    * per-row hashing). */
+  private def lshCell(dims: Int): Column = {
+    def bit(i: Int): Column = {
+      val h = array(hyperplane(i, dims).map(lit): _*)
+      val dot = aggregate(
+        zip_with(col("q"), h, (x, w) => x * w), lit(0L), (acc, v) => acc + v)
+      when(dot >= 0, lit(1)).otherwise(lit(0))
+    }
     (bit(0) * 8 + bit(1) * 4 + bit(2) * 2 + bit(3)).as("cell")
   }
 
-  /** Quantized corpus with LSH cell: (vec_id, q: array<bigint>, cell: int). */
-  private def annIndexed(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir).select(col("vec_id"),
+  /** Quantized corpus with LSH cell: (vec_id, q: array<bigint>, cell: int).
+    * The embedding width is read from one row up front (driver-side setup,
+    * one-row parquet peek) to size the inlined hyperplane matrix. */
+  private def annIndexed(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).select(col("vec_id"),
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 100000) as bigint))").as("q"))
-      .withColumn("cell", lshCell)
+    val dims = base.select(size(col("q"))).head.getInt(0)
+    base.withColumn("cell", lshCell(dims))
+  }
 
   /** XOR masks probed per query: all cells within Hamming distance 2 of the
     * query's own 4-bit cell (11 of 16). The probe radius is the recall/cost
@@ -348,6 +366,45 @@ object PipelineOps {
       when(priceDist.isNull, 1L).otherwise(0L).as("price_missing")) ++
       catCols ++ exCols: _*)
       .distinct()
+  }
+
+  /** Candidate pairs by the first-two-tokens key (the same blocking join
+    * [[scoreFeatures]] uses) — shared by the comparator catalog queries. */
+  private def keyPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      regexp_extract(col("text"), "^([a-z0-9']+[^a-z0-9']+[a-z0-9']+)", 1).as("key"))
+      .filter(col("key") =!= "")
+    d.as("a").join(d.as("b"),
+      col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** CosineTextSimilarity (`variables/string.py:103-109`) as a catalog
+    * query: corpus-idf-weighted cosine over word-token counts for the
+    * blocked candidate pairs, quantized (floor x1e5) for the integer-exact
+    * oracle. Distributed df/idf table + integer dot — see
+    * [[Comparators.tfidfWeights]]. */
+  def scoreCosineTfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.count()
+    val toked = d.select(col("doc_id"), Queries.toks(col("text")).as("terms"))
+    val w = Comparators.tfidfWeights(toked, "doc_id", "terms", n)
+    Comparators.cosineTfidf(keyPairs(s, dir), w, "doc_id")
+      .select(col("id_a"), col("id_b"),
+        floor(lit(100000.0) * col("cosine")).cast("long").as("cosine_q"))
+  }
+
+  /** CosineSetSimilarity (`variables/set.py:31-36`): same corpus-weighted
+    * cosine with 0/1 term presence over the distinct-token set field. */
+  def scoreCosineSet(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.count()
+    val toked = d.select(col("doc_id"), Queries.toks(col("text")).as("terms"))
+    val w = Comparators.tfidfWeights(toked, "doc_id", "terms", n, setSemantics = true)
+    Comparators.cosineTfidf(keyPairs(s, dir), w, "doc_id")
+      .select(col("id_a"), col("id_b"),
+        floor(lit(100000.0) * col("cosine")).cast("long").as("cosine_q"))
   }
 
   /** Canonical representative per exact-dup group (rows-only: affine-gap

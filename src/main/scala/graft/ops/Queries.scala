@@ -159,6 +159,39 @@ object Queries {
           "transform(sequence(1, greatest(size(t) - 1, 0)), i -> concat(t[i-1], ' ', t[i]))"
         ))).as("key"))
 
+  def predCommonThreeTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, greatest(size(t) - 2, 0)), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
+        ))).as("key"))
+
+  def predCommonThreeElements(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), array_sort(array_distinct(toks(col("text")))).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, greatest(size(t) - 2, 0)), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
+        ))).as("key"))
+
+  /** wholeFieldPredicate over the text field (kernel:
+    * [[graft.texthash.Predicates.wholeFieldPredicate]]); empty fields emit
+    * no key, matching `predicate_functions.py:19-21`. */
+  def predWholeField(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("text").as("key"))
+      .filter(col("key").isNotNull && col("key") =!= "")
+
+  /** wholeSetPredicate: canonical "(a, b, c)" repr of the sorted-distinct
+    * token set (kernel: [[graft.texthash.Predicates.wholeSetPredicate]]). */
+  def predWholeSet(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      concat(lit("("),
+        concat_ws(", ", array_sort(array_distinct(toks(col("text"))))),
+        lit(")")).as("key"))
+
   def predFirstLastSetElement(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       array_min(toks(col("text"))).as("first_el"),

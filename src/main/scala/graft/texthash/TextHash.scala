@@ -91,25 +91,26 @@ object TextHash {
    * Jaccard over two docs is a linear merge and the array is a canonical
    * (partitioning-independent) value. Empty array when len(text) < k.
    */
-  /** Shingle hashes are masked to 32 bits: per-pair Jaccard perturbation is
-    * ~|A||B|/2^32 ~ 1e-5 (immaterial at threshold granularity), while the
-    * zero upper halves let shuffle compression halve the verify stage's
-    * dominant array exchange — measured 40 GB/1.2M docs before masking. */
+  /** Shingle hashes are truncated to 32 bits: per-pair Jaccard perturbation
+    * is ~|A||B|/2^32 ~ 1e-5 (immaterial at threshold granularity). Shipping
+    * them as array<int> (not zero-masked longs) halves the RAW bytes of the
+    * verify stage's dominant array exchange — measured 40 GB/1.2M docs as
+    * longs — on top of what shuffle compression already recovered. */
   val ShingleMask = 0xffffffffL
 
-  def shingleHashes(text: String, k: Int, seed: Long): Array[Long] = {
-    if (text == null) return Array.emptyLongArray
+  def shingleHashes(text: String, k: Int, seed: Long): Array[Int] = {
+    if (text == null) return Array.emptyIntArray
     val n = text.length - k + 1
-    if (n <= 0) return Array.emptyLongArray
+    if (n <= 0) return Array.emptyIntArray
     // allocation-free hot loop: hash UTF-8 byte windows of the char-level
     // shingles directly (char->byte offset table for non-ASCII); boxing a
     // TreeSet per doc was an allocation wall at high parallelism
     val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val buf = new Array[Long](n)
+    val buf = new Array[Int](n)
     if (bytes.length == text.length) { // ASCII fast path: byte idx == char idx
       var i = 0
       while (i < n) {
-        buf(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + i, k, seed) & ShingleMask
+        buf(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + i, k, seed).toInt
         i += 1
       }
     } else {
@@ -131,7 +132,7 @@ object TextHash {
       var i = 0
       while (i < n) {
         buf(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + off(i),
-          off(i + k) - off(i), seed) & ShingleMask
+          off(i + k) - off(i), seed).toInt
         i += 1
       }
     }
@@ -140,6 +141,16 @@ object TextHash {
 
   /** Sort + in-place dedup, returning a right-sized array. */
   private def sortedDistinct(buf: Array[Long]): Array[Long] = {
+    java.util.Arrays.sort(buf)
+    var w = 0; var r = 0
+    while (r < buf.length) {
+      if (w == 0 || buf(w - 1) != buf(r)) { buf(w) = buf(r); w += 1 }
+      r += 1
+    }
+    if (w == buf.length) buf else java.util.Arrays.copyOf(buf, w)
+  }
+
+  private def sortedDistinct(buf: Array[Int]): Array[Int] = {
     java.util.Arrays.sort(buf)
     var w = 0; var r = 0
     while (r < buf.length) {
@@ -176,7 +187,7 @@ object TextHash {
    * emit no band keys, mirroring a dedupe predicate that emits no block keys
    * for an empty field (`predicates.py:90-95`).
    */
-  def minhashSignature(shingles: Array[Long], numHashes: Int, seed: Long): Array[Long] = {
+  def minhashSignature(shingles: Array[Int], numHashes: Int, seed: Long): Array[Long] = {
     if (shingles == null || shingles.isEmpty) return Array.emptyLongArray
     val (a, b) = coeffCache(numHashes, seed)
     val sig = new Array[Long](numHashes)
@@ -186,7 +197,9 @@ object TextHash {
       val ai = a(i); val bi = b(i)
       var j = 0
       while (j < shingles.length) {
-        val v = ai * shingles(j) + bi
+        // zero-extend: the int IS the 32-bit-masked hash, so the signature
+        // values are identical to the pre-int32 (masked long) representation
+        val v = ai * (shingles(j) & ShingleMask) + bi
         if (v < m) m = v
         j += 1
       }
@@ -260,6 +273,20 @@ object TextHash {
 
   /** Exact Jaccard of two sorted-distinct long arrays (linear merge). */
   def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Exact Jaccard of two sorted-distinct int arrays (the shingle
+    * representation — see [[ShingleMask]]). */
+  def jaccardSorted(a: Array[Int], b: Array[Int]): Double = {
     if (a.isEmpty && b.isEmpty) return 0.0
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {

@@ -53,6 +53,10 @@ class PlanAuditSpec extends AnyFunSuite {
       val plan = q.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"ANN plan contains an all-pairs join:\n$plan")
+      // the hyperplane matrix is precomputed on the driver and inlined —
+      // per-row md5 evaluation in the cell expression is a ~100x constant
+      assert(!plan.toLowerCase.contains("md5"),
+        s"ANN cell expression still hashes per row:\n$plan")
     }
   }
 

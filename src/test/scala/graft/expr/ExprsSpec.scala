@@ -31,7 +31,7 @@ class ExprsSpec extends AnyFunSuite {
 
   test("shingle_hashes column == TextHash.shingleHashes") {
     val nonNull = samples.filter(_ != null)
-    val got = nonNull.toDF("t").select(gf.shingle_hashes($"t", 3, 42L)).as[Seq[Long]].collect()
+    val got = nonNull.toDF("t").select(gf.shingle_hashes($"t", 3, 42L)).as[Seq[Int]].collect()
     val want = nonNull.map(s => TextHash.shingleHashes(s, 3, 42L).toSeq)
     assert(got.map(_.toSeq).toSeq == want.toSeq)
   }
@@ -55,9 +55,9 @@ class ExprsSpec extends AnyFunSuite {
 
   test("jaccard_sorted and hamming64 columns == pure kernels") {
     val rows = Seq(
-      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L), 0L, -1L),
-      (Seq(1L), Seq(1L), 5L, 5L),
-      (Seq.empty[Long], Seq(9L), Long.MaxValue, Long.MinValue))
+      (Seq(1, 2, 3), Seq(2, 3, 4), 0L, -1L),
+      (Seq(1), Seq(1), 5L, 5L),
+      (Seq.empty[Int], Seq(9), Long.MaxValue, Long.MinValue))
     val got = rows.toDF("x", "y", "h1", "h2")
       .select(gf.jaccard_sorted($"x", $"y"), gf.hamming64($"h1", $"h2"))
       .as[(Double, Int)].collect()

@@ -69,4 +69,48 @@ class ComparatorsSpec extends AnyFunSuite {
     assert(rows(2).isEmpty)
     assert(rows(3).isEmpty)
   }
+
+  test("cosine TF-IDF: hand-computed 3-doc corpus (CosineTextSimilarity shape)") {
+    // corpus: d1 = [a a b], d2 = [a c], d3 = [c c]
+    // df: a->2, b->1, c->2; N=3; idfQ(t) = floor(1000*(ln(4/(df+1))+1))
+    val docs = Seq(
+      (1L, Seq("a", "a", "b")), (2L, Seq("a", "c")), (3L, Seq("c", "c")))
+      .toDF("id", "terms")
+    val w = Comparators.tfidfWeights(docs, "id", "terms", nDocs = 3L)
+    val got = w.as[(Long, String, Long)].collect()
+      .map { case (id, t, wv) => ((id, t), wv) }.toMap
+    def idfQ(df: Int): Long = math.floor(1000.0 * (math.log(4.0 / (df + 1)) + 1.0)).toLong
+    assert(got((1L, "a")) == 2 * idfQ(2) && got((1L, "b")) == idfQ(1))
+    assert(got((2L, "a")) == idfQ(2) && got((2L, "c")) == idfQ(2))
+    assert(got((3L, "c")) == 2 * idfQ(2))
+
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val cos = Comparators.cosineTfidf(pairs, w, "id")
+      .as[(Long, Long, Double)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    val (wa, wb, wc) = (idfQ(2).toDouble, idfQ(1).toDouble, idfQ(2).toDouble)
+    val n1 = math.sqrt(4 * wa * wa + wb * wb); val n2 = math.sqrt(wa * wa + wc * wc)
+    val n3 = math.sqrt(4 * wc * wc)
+    assert(math.abs(cos((1L, 2L)) - (2 * wa * wa) / (n1 * n2)) < 1e-12)
+    assert(cos((1L, 3L)) == 0.0) // no common term -> left-join zero fill
+    assert(math.abs(cos((2L, 3L)) - (2 * wc * wc) / (n2 * n3)) < 1e-12)
+  }
+
+  test("cosine set semantics: 0/1 tf; unweighted = |A∩B|/sqrt(|A||B|)") {
+    val docs = Seq(
+      (1L, Seq("a", "a", "b")), (2L, Seq("a", "b", "c")), (3L, Seq("x")))
+      .toDF("id", "terms")
+    // unweighted set cosine reduces to intersection over geometric mean
+    val w = Comparators.tfidfWeights(docs, "id", "terms", nDocs = 3L,
+      setSemantics = true, weighted = false)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val cos = Comparators.cosineTfidf(pairs, w, "id")
+      .as[(Long, Long, Double)].collect().map(r => ((r._1, r._2), r._3)).toMap
+    assert(math.abs(cos((1L, 2L)) - 2.0 / math.sqrt(2.0 * 3.0)) < 1e-12)
+    assert(cos((1L, 3L)) == 0.0)
+    // identical docs -> exactly 1.0, weighted or not
+    val w2 = Comparators.tfidfWeights(docs, "id", "terms", nDocs = 3L, setSemantics = true)
+    val self = Comparators.cosineTfidf(Seq((1L, 1L)).toDF("id_a", "id_b"), w2, "id")
+      .as[(Long, Long, Double)].collect()
+    assert(self.head._3 == 1.0)
+  }
 }

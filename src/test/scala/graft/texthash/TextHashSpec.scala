@@ -48,7 +48,7 @@ class TextHashSpec extends AnyFunSuite {
     val s2 = minhashSignature(a, 128, 42L)
     assert(s1.sameElements(s2))
     assert(s1.length == 128)
-    assert(minhashSignature(Array.emptyLongArray, 128, 42L).isEmpty)
+    assert(minhashSignature(Array.emptyIntArray, 128, 42L).isEmpty)
   }
 
   test("minhash estimates jaccard") {
