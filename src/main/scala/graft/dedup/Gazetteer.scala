@@ -39,43 +39,105 @@ object Gazetteer {
         .filter(col("text").isNotNull), cfg)
       .select(col("url"), col("shingles"), col("sig"), col("simhash"))
 
-  /** Parquet-path rewrite with temp + swap (the sandbox stand-in for an
-    * Iceberg MERGE/DELETE: never deletes data before the replacement is
-    * fully written). */
+  /** Catalog MERGE for the production Iceberg path: REPLACE-upsert by url
+    * (`api.py:696-736`'s `REPLACE INTO` semantics). `updatesView` is a temp
+    * view holding the new signature rows. */
+  def mergeSql(table: String, updatesView: String): String =
+    s"""MERGE INTO $table t USING $updatesView u ON t.url = u.url
+       |WHEN MATCHED THEN UPDATE SET *
+       |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+
+  /** Catalog DELETE for the production Iceberg path (`api.py:747-776`). */
+  def deleteSql(table: String, urlsView: String): String =
+    s"DELETE FROM $table WHERE url IN (SELECT url FROM $urlsView)"
+
+  /**
+   * Parquet-path rewrite: write the replacement to `path__tmp` first, swap
+   * the live table aside to `path__old`, promote tmp, then drop old. The
+   * live table is never deleted before the replacement is fully written AND
+   * the previous version survives (as `__old`) until the promotion rename
+   * completes — any crash leaves a recoverable state (see [[recoverSwap]]).
+   */
   private def rewrite(spark: SparkSession, path: String, df: DataFrame): Unit = {
-    val tmp = path + "__tmp"
-    TableIO.write(df, tmp)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    val live = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    TableIO.write(df, tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true) // leftover of a crashed swap
+    if (fs.exists(live)) fs.rename(live, old)
+    fs.rename(tmp, live)
+    fs.delete(old, true)
   }
 
-  /** Add (or replace, by url) records in the persistent index. */
+  /** Complete or roll back a swap interrupted by a crash: if the live table
+    * is missing, promote a fully-written `__tmp` (its `_SUCCESS` marker
+    * proves completeness) or else restore `__old` — never silently start an
+    * empty index when a previous version exists. */
+  private def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (!fs.exists(live)) {
+      if (TableIO.checkpointExists(spark, tmp.toString)) fs.rename(tmp, live)
+      else if (fs.exists(old)) fs.rename(old, live)
+    }
+    if (fs.exists(live)) { fs.delete(tmp, true); fs.delete(old, true) }
+  }
+
+  /** Live index presence, after crash recovery. */
+  private def indexExists(spark: SparkSession, path: String): Boolean = {
+    if (!TableIO.icebergAvailable(spark)) recoverSwap(spark, path)
+    TableIO.checkpointExists(spark, path)
+  }
+
+  /** Add (or replace, by url) records in the persistent index. Production
+    * (Iceberg catalog): an incremental `MERGE INTO` — O(changed records),
+    * never a full-table rewrite. Sandbox parquet: temp + swap rewrite. */
   def index(spark: SparkSession, path: String, pages: DataFrame, cfg: DedupConfig): Unit = {
     val rows = signatureRows(pages, cfg)
-    val updated =
-      if (TableIO.checkpointExists(spark, path))
-        TableIO.read(spark, path)
-          .join(rows.select(col("url")), Seq("url"), "left_anti")
-          .unionByName(rows)
-      else rows
-    rewrite(spark, path, updated)
+    if (TableIO.icebergAvailable(spark)) {
+      if (!spark.catalog.tableExists(path)) TableIO.write(rows, path)
+      else {
+        rows.createOrReplaceTempView("__graft_gazette_updates")
+        spark.sql(mergeSql(path, "__graft_gazette_updates"))
+      }
+    } else {
+      val updated =
+        if (indexExists(spark, path))
+          TableIO.read(spark, path)
+            .join(rows.select(col("url")), Seq("url"), "left_anti")
+            .unionByName(rows)
+        else rows
+      rewrite(spark, path, updated)
+    }
   }
 
-  /** Remove records (by url) from the persistent index. */
+  /** Remove records (by url) from the persistent index. Production: a
+    * catalog `DELETE WHERE`; sandbox parquet: anti-join + swap rewrite. */
   def unindex(spark: SparkSession, path: String, urls: DataFrame): Unit = {
-    if (!TableIO.checkpointExists(spark, path)) return
-    val updated = TableIO.read(spark, path)
-      .join(urls.select(col("url")), Seq("url"), "left_anti")
-    rewrite(spark, path, updated)
+    if (TableIO.icebergAvailable(spark)) {
+      if (!spark.catalog.tableExists(path)) return
+      urls.select(col("url")).createOrReplaceTempView("__graft_gazette_unindex")
+      spark.sql(deleteSql(path, "__graft_gazette_unindex"))
+    } else {
+      if (!indexExists(spark, path)) return
+      val updated = TableIO.read(spark, path)
+        .join(urls.select(col("url")), Seq("url"), "left_anti")
+      rewrite(spark, path, updated)
+    }
   }
 
   /** The indexed table with derived LSH band keys, ready for the band join. */
-  def bandedIndex(spark: SparkSession, path: String, cfg: DedupConfig): DataFrame =
+  def bandedIndex(spark: SparkSession, path: String, cfg: DedupConfig): DataFrame = {
+    if (!TableIO.icebergAvailable(spark)) recoverSwap(spark, path)
     TableIO.read(spark, path)
       .select(col("url").as("match_url"), col("shingles").as("m_shingles"),
         explode(gf.band_keys(col("sig"), cfg.bands)).as("band"))
+  }
 
   /**
    * Batch search with empty-fill: top-`n` canonical matches above

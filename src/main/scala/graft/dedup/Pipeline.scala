@@ -96,9 +96,19 @@ object Pipeline {
       out
     }
 
+    // per-partition row counts per stage (north rule: per-partition lineage
+    // + metrics). Built as lazy plans over the stage CHECKPOINTS and written
+    // in one job at the end — a cheap parquet re-scan, no extra shuffles.
+    val partMetrics = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def record(name: String, df: DataFrame, hot: Long = -1L): Unit =
-      if (workDir.isDefined)
+      if (workDir.isDefined) {
         metrics += StageMetrics(name, df.count(), df.rdd.getNumPartitions, hot)
+        partMetrics += df
+          .groupBy(spark_partition_id().as("partition"))
+          .agg(count(lit(1)).as("rows"))
+          .select(lit(name).as("stage"), $"partition", $"rows",
+            lit(hot).as("hot_keys_dropped"))
+      }
 
     // 1. normalize (byte-identical text per url — north-rule invariant) and
     // assign the compact 64-bit record id used through the shuffle-heavy
@@ -172,6 +182,9 @@ object Pipeline {
     // metrics + lineage tables
     workDir.foreach { dir =>
       TableIO.write(metrics.toSeq.toDF(), s"$dir/metrics")
+      // per-partition rows (+ the stage's hot-key drops) for EVERY stage
+      if (partMetrics.nonEmpty)
+        TableIO.write(partMetrics.reduce(_ unionByName _), s"$dir/partition_metrics")
       // per-partition lineage of the output (north rule)
       TableIO.write(
         clusters.groupBy(spark_partition_id().as("partition"))

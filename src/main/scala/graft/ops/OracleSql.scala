@@ -540,6 +540,25 @@ object OracleSql {
     "score_cosine_tfidf" -> cosineSql(setSemantics = false),
     "score_cosine_set" -> cosineSql(setSemantics = true),
 
+    // LCS = w-1 + longest diagonal run of shared w-char windows
+    // (gaps-and-islands on i - row_number), over a 32-char prefix, w = 6
+    "score_lcs_suffix" -> """
+      WITH d AS (SELECT doc_id, substr(text, 1, 32) AS t FROM documents
+                 WHERE len(substr(text, 1, 32)) >= 6),
+      wins AS (SELECT doc_id, s['i'] AS i, s['win'] AS win FROM
+        (SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(t) - 5, 0)),
+           i -> {'i': i, 'win': substr(t, i, 6)})) AS s FROM d)),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS i, b.i AS j
+            FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id),
+      r AS (SELECT id_a, id_b, i - j AS diag, i,
+              i - row_number() OVER (PARTITION BY id_a, id_b, i - j ORDER BY i) AS grp
+            FROM p),
+      runs AS (SELECT id_a, id_b, count(*) AS run
+               FROM r GROUP BY id_a, id_b, diag, grp)
+      SELECT id_a, id_b, CAST(max(run) + 5 AS BIGINT) AS lcs_len
+      FROM runs GROUP BY id_a, id_b""",
+
     // training_data_dedupe: match = within-key combinations; distinct = 500
     // hash-sampled triangular-decoded pairs minus matches (i*(b+i+2) is
     // always even so // and div agree; IEEE sqrt is correctly rounded)

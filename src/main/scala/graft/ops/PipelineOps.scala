@@ -407,6 +407,44 @@ object PipelineOps {
         floor(lit(100000.0) * col("cosine")).cast("long").as("cosine_q"))
   }
 
+  /**
+   * Suffix-pass exact-overlap score (`score_lcs_suffix`): the
+   * longest-common-substring length for pairs that share at least one
+   * fixed-width character window — completing the suffix-array substring
+   * pass (north rule: "longest-common-substring length from the suffix
+   * pass"; reference `suffixArray`, `predicate_functions.py:142-147`).
+   *
+   * Identity making this exact AND distributed: a common substring of
+   * length L >= w contains exactly L - w + 1 consecutive aligned w-windows,
+   * so LCS = w - 1 + (longest run of shared windows along one diagonal
+   * i - j). The run detection is the gaps-and-islands trick (grp = i -
+   * row_number within the (pair, diagonal) partition) — partitioned window,
+   * map-side-combinable aggs, no per-pair quadratic DP anywhere. Windows are
+   * taken from a bounded 32-char prefix so per-doc work is O(1) (the
+   * flagship's sampled [[graft.texthash.TextHash.suffixKeys]] plays the
+   * candidate role at full scale).
+   */
+  def scoreLcsSuffix(s: SparkSession, dir: String): DataFrame = {
+    val w = 6
+    val d = docs(s, dir).select(col("doc_id"), substring(col("text"), 1, 32).as("t"))
+      .filter(length(col("t")) >= w)
+    val wins = d.select(col("doc_id"), explode(expr(
+      s"transform(sequence(1, greatest(length(t) - ${w - 1}, 0)), i -> named_struct('i', i, 'win', substring(t, i, $w)))")).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.win").as("win"))
+    val p = wins.as("a").join(wins.as("b"),
+        col("a.win") === col("b.win") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.i").as("i"), col("b.i").as("j"))
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("diag")).orderBy(col("i"))
+    p.withColumn("diag", col("i") - col("j"))
+      .withColumn("grp", col("i") - row_number().over(byDiag))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg((max(col("run")) + lit(w - 1)).cast("long").as("lcs_len"))
+  }
+
   /** Canonical representative per exact-dup group (rows-only: affine-gap
     * centroid is not SQL-expressible) — canonical.py:56-79 over the
     * case-variant corpus of [[dedupExact]]. */

@@ -2,9 +2,11 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.dedup.{Blocking, DedupConfig}
+import graft.dedup.{Blocking, DedupConfig, Gazetteer}
 import graft.expr.{functions => gf}
+import graft.io.TableIO
 
 /**
  * Streaming gazetteer — the Structured Streaming realization of
@@ -51,4 +53,46 @@ object GazetteerStream {
       .filter(col("score") > threshold)
       .dropDuplicates("query_url", "match_url")
   }
+
+  /**
+   * End-to-end streaming gazetteer over the PERSISTENT index: per
+   * micro-batch (`foreachBatch`), (1) search the index with empty-fill +
+   * top-n (bounded per-batch work), (2) hand results to `sink`, and
+   * (3) index unmatched pages as new canonical records — the reference's
+   * match-then-`index`-novel workflow (`api.py:938-995` search +
+   * `api.py:694-736` index), with index maintenance going through
+   * [[Gazetteer.index]] (catalog MERGE INTO in production, swap-rewrite
+   * in-sandbox).
+   *
+   * The search inside the batch is a plain batch band join, so each batch
+   * sees every record indexed by all previous batches — matching the
+   * sequential semantics of the reference's gazetteer loop.
+   */
+  def run(stream: DataFrame, indexPath: String, cfg: DedupConfig,
+          threshold: Double, n: Int = 1, indexNovel: Boolean = true)
+         (sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        try {
+          val results =
+            if (TableIO.checkpointExists(spark, indexPath))
+              Gazetteer.search(spark, indexPath, b, cfg, threshold, n)
+            else // first batch against an empty index: all queries empty-fill
+              b.select(col("url").as("query_url")).distinct()
+                .withColumn("match_url", lit(null).cast("string"))
+                .withColumn("score", lit(null).cast("float"))
+          val r = results.persist()
+          try {
+            sink(r)
+            if (indexNovel) {
+              val novelUrls = r.filter(col("match_url").isNull)
+                .select(col("query_url").as("url")).distinct()
+              val novelPages = b.join(novelUrls, Seq("url"))
+              Gazetteer.index(spark, indexPath, novelPages, cfg)
+            }
+          } finally r.unpersist()
+        } finally b.unpersist()
+    }.start()
 }

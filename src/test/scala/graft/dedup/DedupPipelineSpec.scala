@@ -111,6 +111,17 @@ class DedupPipelineSpec extends AnyFunSuite {
       .foreach { s =>
         assert(graft.io.TableIO.checkpointExists(spark, s"$dir/$s"), s"missing checkpoint $s")
       }
+    // per-partition metrics (north rule: per-partition lineage + metrics):
+    // (stage, partition, rows, hot_keys_dropped), per-stage row sums equal
+    // to the global metrics table's counts
+    val pm = graft.io.TableIO.read(spark, s"$dir/partition_metrics")
+    assert(pm.columns.toSeq == Seq("stage", "partition", "rows", "hot_keys_dropped"))
+    val pmSums = pm.groupBy($"stage").agg(sum($"rows")).as[(String, Long)].collect().toMap
+    val globalRows = graft.io.TableIO.read(spark, s"$dir/metrics")
+      .select($"stage", $"rows").as[(String, Long)].collect().toMap
+    assert(pmSums == globalRows, s"per-partition sums $pmSums != stage counts $globalRows")
+    assert(pm.filter($"stage" === "pairs").select(max($"hot_keys_dropped"))
+      .as[Long].head() >= 0L, "pairs stage must carry its hot-key drop count")
     // resume: delete the LAST stage only; rerun must reuse earlier stages and
     // reproduce identical output
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)

@@ -66,6 +66,36 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.length == 2)
   }
 
+  test("streaming gazetteer end-to-end: foreachBatch search + novel indexing") {
+    val cfg = DedupConfig()
+    val dir = java.nio.file.Files.createTempDirectory("gaz_stream").toString
+    val path = s"$dir/index"
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Option[String])]
+    val q = GazetteerStream.run(stream.toDF().toDF("url", "text"), path, cfg,
+      threshold = 0.5) { batchResults =>
+      seen ++= batchResults.select($"query_url", $"match_url")
+        .as[(String, Option[String])].collect()
+    }
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val other = "entirely different content about spark catalyst codegen spans"
+    stream.addData(Seq(("p1", base), ("p2", other)))
+    q.processAllAvailable()
+    // batch 1 ran against an empty index: both empty-fill, both indexed
+    assert(seen.toSet == Set(("p1", None), ("p2", None)))
+    assert(graft.io.TableIO.read(spark, path).count() == 2)
+    seen.clear()
+    stream.addData(Seq(("p3", base + " extra"), ("p4", "novel xylophone zebra quantum entangled")))
+    q.processAllAvailable()
+    q.stop()
+    val m = seen.toMap
+    assert(m("p3").contains("p1"), "near-dup of a record indexed by batch 1 must match it")
+    assert(m("p4").isEmpty)
+    // p4 (novel) was indexed; p3 (matched) was not
+    assert(graft.io.TableIO.read(spark, path).count() == 3)
+  }
+
   test("gazetteer index/unindex round trip with REPLACE + empty-fill (api.py:694-776,1007-1024)") {
     import graft.dedup.Gazetteer
     val cfg = DedupConfig()
@@ -105,6 +135,45 @@ class OpsSpec extends AnyFunSuite {
       Seq(("q4", other)).toDF("url", "text"), cfg, threshold = 0.5)
       .as[(String, Option[String], Option[Float])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(r4("q4") == ((None, None)), "empty index must still surface the query")
+  }
+
+  test("gazetteer swap crash recovery + production MERGE/DELETE SQL") {
+    import graft.dedup.Gazetteer
+    import org.apache.hadoop.fs.Path
+    val cfg = DedupConfig()
+    val dir = java.nio.file.Files.createTempDirectory("gaz_crash").toString
+    val path = s"$dir/index"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Gazetteer.index(spark, path, Seq(("c1", base)).toDF("url", "text"), cfg)
+
+    // crash window 1: live was moved aside but the promotion rename never
+    // ran (no __tmp). The next operation must restore __old, not silently
+    // start an empty index.
+    fs.rename(new Path(path), new Path(path + "__old"))
+    val r = Gazetteer.search(spark, path, Seq(("q", base)).toDF("url", "text"), cfg, 0.5)
+      .as[(String, Option[String], Option[Float])].collect()
+      .map(x => x._1 -> x._2).toMap
+    assert(r("q").contains("c1"), "recovery must restore the previous index version")
+    assert(fs.exists(new Path(path)) && !fs.exists(new Path(path + "__old")))
+
+    // crash window 2: the replacement was FULLY written to __tmp (complete
+    // _SUCCESS) and live was moved aside -> recovery promotes __tmp
+    val rows2 = Gazetteer.signatureRows(
+      Seq(("c1", base), ("c2", "completely different replacement content rows")).toDF("url", "text"), cfg)
+    graft.io.TableIO.write(rows2, path + "__tmp")
+    fs.rename(new Path(path), new Path(path + "__old"))
+    Gazetteer.unindex(spark, path, Seq(Tuple1("not-present")).toDF("url"))
+    assert(graft.io.TableIO.read(spark, path).count() == 2,
+      "a complete __tmp must be promoted over the stale __old")
+
+    // production branch: catalog maintenance is incremental SQL, not rewrite
+    assert(Gazetteer.mergeSql("graft.db.gaz", "upd") ==
+      """MERGE INTO graft.db.gaz t USING upd u ON t.url = u.url
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(Gazetteer.deleteSql("graft.db.gaz", "del") ==
+      "DELETE FROM graft.db.gaz WHERE url IN (SELECT url FROM del)")
   }
 
   test("streaming exact dedup: watermarked first-per-fingerprint + windowed dup stats") {
