@@ -16,7 +16,8 @@ object Bench {
   private val benchQueries = Seq(
     "q1_agg", "q_join_agg", "q_window_topn", "q_anti_join", "q_sort_limit",
     "pred_token_field", "pred_fingerprint", "pred_common_four_gram",
-    "pairs_self_join", "score_jaccard_tokens", "cluster_cc",
+    "pairs_self_join", "score_jaccard_tokens", "score_cosine_tfidf",
+    "score_lcs_suffix", "cluster_cc",
     "dedup_exact", "dedup_minhash_sig", "dedup_simhash16",
     "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "text_token_stats", "text_quality", "text_langid", "text_fingerprint",

@@ -541,7 +541,8 @@ object OracleSql {
     "score_cosine_set" -> cosineSql(setSemantics = true),
 
     // LCS = w-1 + longest diagonal run of shared w-char windows
-    // (gaps-and-islands on i - row_number), over a 32-char prefix, w = 6
+    // (gaps-and-islands on i - row_number), over a 32-char prefix, w = 6.
+    // Candidates from rare (df <= 50) shared windows; verify is exact.
     "score_lcs_suffix" -> """
       WITH d AS (SELECT doc_id, substr(text, 1, 32) AS t FROM documents
                  WHERE len(substr(text, 1, 32)) >= 6),
@@ -549,11 +550,18 @@ object OracleSql {
         (SELECT doc_id, unnest(list_transform(
            generate_series(1, greatest(len(t) - 5, 0)),
            i -> {'i': i, 'win': substr(t, i, 6)})) AS s FROM d)),
-      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS i, b.i AS j
-            FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id),
+      rare AS (SELECT win FROM (SELECT win, count(*) AS df FROM wins GROUP BY win)
+               WHERE df <= 50),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM wins a JOIN rare ON a.win = rare.win
+               JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id),
+      pa AS (SELECT c.id_a, c.id_b, w.i, w.win
+             FROM cand c JOIN wins w ON w.doc_id = c.id_a),
+      pr AS (SELECT pa.id_a, pa.id_b, pa.i AS i, wb.i AS j
+             FROM pa JOIN wins wb ON wb.doc_id = pa.id_b AND wb.win = pa.win),
       r AS (SELECT id_a, id_b, i - j AS diag, i,
               i - row_number() OVER (PARTITION BY id_a, id_b, i - j ORDER BY i) AS grp
-            FROM p),
+            FROM pr),
       runs AS (SELECT id_a, id_b, count(*) AS run
                FROM r GROUP BY id_a, id_b, diag, grp)
       SELECT id_a, id_b, CAST(max(run) + 5 AS BIGINT) AS lcs_len

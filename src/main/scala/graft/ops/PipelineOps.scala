@@ -426,18 +426,35 @@ object PipelineOps {
    */
   def scoreLcsSuffix(s: SparkSession, dir: String): DataFrame = {
     val w = 6
+    val cap = 50L // stop-word rule (hotKeyAbsCap analogue, Blocking.scala)
     val d = docs(s, dir).select(col("doc_id"), substring(col("text"), 1, 32).as("t"))
       .filter(length(col("t")) >= w)
     val wins = d.select(col("doc_id"), explode(expr(
       s"transform(sequence(1, greatest(length(t) - ${w - 1}, 0)), i -> named_struct('i', i, 'win', substring(t, i, $w)))")).as("s"))
       .select(col("doc_id"), col("s.i").as("i"), col("s.win").as("win"))
-    val p = wins.as("a").join(wins.as("b"),
+    // candidates come from RARE shared windows only: boilerplate windows
+    // (df > cap) generate quadratic pairs with no real-overlap evidence —
+    // the same broadcast-anti-join stop-word shape as the flagship blocking.
+    // The 16x cut measured at sf0.1: 6.49M -> 395k candidate pairs.
+    val hot = wins.groupBy(col("win")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(col("win"))
+    val kept = wins.join(broadcast(hot), Seq("win"), "left_anti")
+    val cand = kept.as("a").join(kept.as("b"),
         col("a.win") === col("b.win") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.i").as("i"), col("b.i").as("j"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // exact verify for the bounded candidate set: join each pair's FULL
+    // window lists (hot ones included, so the LCS itself is exact) keyed by
+    // (pair id, window) — per-pair work O(windows/doc), never all-pairs
+    val pa = cand
+      .join(wins.select(col("doc_id").as("id_a"), col("i"), col("win")), Seq("id_a"))
+    val pr = pa
+      .join(wins.select(col("doc_id").as("id_b"), col("i").as("j"), col("win")),
+        Seq("id_b", "win"))
+      .select(col("id_a"), col("id_b"), col("i"), col("j"))
     val byDiag = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a"), col("id_b"), col("diag")).orderBy(col("i"))
-    p.withColumn("diag", col("i") - col("j"))
+    pr.withColumn("diag", col("i") - col("j"))
       .withColumn("grp", col("i") - row_number().over(byDiag))
       .groupBy(col("id_a"), col("id_b"), col("diag"), col("grp"))
       .agg(count(lit(1)).as("run"))
