@@ -103,6 +103,7 @@ object SparkEntry {
     "text_fingerprint" -> (PipelineOps.textFingerprint _),
     "ann_l2_topk" -> (PipelineOps.annTopK _),
     "ann_cosine_topk" -> (PipelineOps.annCosine _), // rows-only (float math)
+    "dedup_embed_cosine" -> (PipelineOps.dedupEmbedCosine _),
     "gazette_search_empty_fill" -> (PipelineOps.gazetteSearchEmptyFill _),
     "training_pairs" -> (PipelineOps.trainingPairs _),
     "training_pairs_link" -> (PipelineOps.trainingPairsLink _),

@@ -19,14 +19,24 @@ import org.apache.spark.storage.StorageLevel
  *      (partition, node));
  *   2. pointer jumping: label(v) <- label(label(v)) — doubles compression,
  *      giving O(log diameter) convergence overall;
- *   3. localCheckpoint to truncate lineage (each round is also a resumable
- *      checkpoint boundary in [[Pipeline]]).
+ *   3. checkpoint to truncate lineage (each round is also a resumable
+ *      checkpoint boundary in [[Pipeline]]) — RELIABLE when the session has
+ *      a checkpoint dir (cluster), executor-local otherwise (sandbox).
  * Convergence = zero labels changed (exact count, not a heuristic).
  *
  * Labels are the lexicographically smallest member id, which makes component
  * ids deterministic under any parallelism (north-rule determinism).
  */
 object ConnectedComponents {
+  /** Lineage truncation for loop iterates: a RELIABLE checkpoint when the
+    * session has a checkpoint dir configured (cluster jobs set one — local
+    * checkpoint blocks die with their executor, so at 1000 executors any
+    * loss forces a recompute from nothing), else an executor-local
+    * checkpoint (the single-JVM sandbox default). */
+  private def truncate(df: DataFrame, eager: Boolean): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
 
   private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -120,7 +130,7 @@ object ConnectedComponents {
 
     var assign = sym.select($"src".as("id")).distinct()
       .withColumn("comp", $"id")
-      .localCheckpoint(false)
+      .transform(truncate(_, eager = false))
     var prevSum = checksum(assign) // also materializes the checkpoint
     if (prevSum == null) { sym.unpersist(); return assign } // empty edge set
 
@@ -144,7 +154,7 @@ object ConnectedComponents {
       val next = stepped
         .join(jumpTargets.hint("shuffle_hash"), stepped("comp") === jumpTargets("jid"), "left")
         .select(stepped("id"), coalesce($"jcomp", stepped("comp")).as("comp"))
-        .localCheckpoint(false) // materialized by the checksum action below
+        .transform(truncate(_, eager = false)) // materialized by the checksum action below
 
       val nextSum = checksum(next)
       changed = nextSum != prevSum
@@ -211,7 +221,7 @@ object ConnectedComponents {
     import spark.implicits._
 
     var done: Option[DataFrame] = None
-    var pending = scored.localCheckpoint(true)
+    var pending = truncate(scored, eager = true)
     if (pending.count() <= localEdgeThreshold)
       return localRefilter(pending, maxComponents)
     var rounds = 0
@@ -232,7 +242,7 @@ object ConnectedComponents {
       } else {
         val oversized = nodeCounts.filter($"n_nodes" > maxComponents).select($"comp")
         val fits = labeled.join(broadcast(oversized), Seq("comp"), "left_anti").select($"a", $"b", $"score", $"comp")
-        done = Some(done.map(_.unionByName(fits)).getOrElse(fits)).map(_.localCheckpoint(true))
+        done = Some(done.map(_.unionByName(fits)).getOrElse(fits)).map(truncate(_, eager = true))
         val over = labeled.join(broadcast(oversized), Seq("comp"), "left_semi")
         // Per oversized component: threshold = sigmoid(logit(min_score)+1);
         // drop edges below it, but at least the 2 lowest (clustering.py:87-88).
@@ -273,7 +283,7 @@ object ConnectedComponents {
           .filter(struct($"score", $"a", $"b") =!= $"m2")
           .select($"a", $"b", $"score")
 
-        pending = keptByThr.unionAll(keptByRank).localCheckpoint(true)
+        pending = truncate(keptByThr.unionAll(keptByRank), eager = true)
         if (pending.isEmpty) pending = null
       }
       rounds += 1

@@ -411,6 +411,31 @@ object OracleSql {
     },
 
 
+    // same-cell candidate pairs + exact integer-quantized cosine filter
+    "dedup_embed_cosine" -> {
+      def bit(i: Int, weight: Int) = s"""
+        (CASE WHEN list_aggregate(list_transform(generate_series(1, len(q)),
+           d -> q[d] * ((CAST('0x' || substr(md5('hp#$i#' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000)),
+           'sum') >= 0 THEN $weight ELSE 0 END)"""
+      s"""
+      WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT)) AS q
+        FROM embeddings),
+      c AS (SELECT vec_id, q,
+          ${bit(0, 8)} + ${bit(1, 4)} + ${bit(2, 2)} + ${bit(3, 1)} AS cell
+        FROM e),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.q AS qa, b.q AS qb
+            FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, cos_q FROM (
+        SELECT id_a, id_b,
+          CAST(floor(100000.0 * least(1.0,
+            CAST(list_aggregate(list_transform(generate_series(1, len(qa)), i -> qa[i] * qb[i]), 'sum') AS DOUBLE) /
+            (sqrt(CAST(list_aggregate(list_transform(qa, x -> x * x), 'sum') AS DOUBLE)) *
+             sqrt(CAST(list_aggregate(list_transform(qb, x -> x * x), 'sum') AS DOUBLE))))) AS BIGINT) AS cos_q
+        FROM p)
+      WHERE cos_q >= 15000"""
+    },
+
     "pred_hundred_integers_odd" -> """
       SELECT DISTINCT doc_id,
         CASE WHEN CAST(i AS BIGINT) < 100 THEN '0' || CAST(CAST(i AS BIGINT) % 2 AS VARCHAR)

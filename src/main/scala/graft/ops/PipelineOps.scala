@@ -281,6 +281,27 @@ object PipelineOps {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (`dedup_embed_cosine`): vectors
+    * sharing a hyperplane-LSH cell, kept when the exact quantized cosine is
+    * >= 0.15 — the embedding-space analogue of the MinHash band join
+    * (candidates from an equi-join on the cell key, never all pairs; at
+    * production scale more planes shrink the cells, same shape). Integer
+    * dot/norm aggregates + a single double division keep the DuckDB oracle
+    * bit-exact, like [[scoreCosineTfidf]]. */
+  def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = annIndexed(s, dir)
+    val a = e.select(col("cell"), col("vec_id").as("id_a"), col("q").as("qa"))
+    val b = e.select(col("cell"), col("vec_id").as("id_b"), col("q").as("qb"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        floor(lit(100000.0) * least(lit(1.0),
+          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").cast("double") /
+            (sqrt(expr("aggregate(qa, 0L, (acc, x) -> acc + x * x)").cast("double")) *
+              sqrt(expr("aggregate(qb, 0L, (acc, x) -> acc + x * x)").cast("double")))))
+          .cast("long").as("cos_q"))
+      .filter(col("cos_q") >= 15000)
+  }
+
   /** Exact brute-force L2 top-k over a supplied corpus — the small-N
     * exactness oracle used by tests to measure the bucketed path's recall
     * (deliberately NOT a catalog query: all-pairs does not scale). */

@@ -116,6 +116,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(local == dist, s"local=$local dist=$dist")
   }
 
+  test("CC distributed loop uses reliable checkpoints when a checkpoint dir is set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("a", "b")
+      val labels = ConnectedComponents.run(edges, localEdgeThreshold = 0)
+        .as[(String, String)].collect().toSet
+      assert(labels == Set(("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")))
+      // the reliable path actually wrote RDD checkpoints into the dir
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val entries = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      assert(entries.nonEmpty, "no reliable checkpoint data written")
+    } finally {
+      // unset so other tests keep using executor-local checkpoints
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("CC neighbor-min aggregation is partially aggregated (map-side combine)") {
     val edges = Seq(("a", "b"), ("b", "c")).toDF("a", "b")
     // capture the aggregate shape of one iteration's building block
