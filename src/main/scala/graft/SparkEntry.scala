@@ -75,6 +75,7 @@ object SparkEntry {
     "score_cosine_tfidf" -> (PipelineOps.scoreCosineTfidf _),
     "score_cosine_set" -> (PipelineOps.scoreCosineSet _),
     "score_lcs_suffix" -> (PipelineOps.scoreLcsSuffix _),
+    "tfidf_search" -> (PipelineOps.tfidfSearch _),
     // clustering (§2.5)
     "cluster_cc" -> (Queries.clusterConnectedComponents _),
     "cluster_gazette_topn" -> (Queries.clusterGazetteTopN _),

@@ -565,6 +565,37 @@ object OracleSql {
     "score_cosine_tfidf" -> cosineSql(setSemantics = false),
     "score_cosine_set" -> cosineSql(setSemantics = true),
 
+    // TF-IDF search: stop terms (df > max(1000, 5%N)) excluded from the
+    // index; candidates share an indexed term; weighted cosine >= 0.8
+    "tfidf_search" -> s"""
+      WITH n AS (SELECT count(*) AS n FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM
+               (SELECT doc_id, unnest($TOKS) AS term FROM documents)
+             GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      ok AS (SELECT df.term FROM df CROSS JOIN n
+             WHERE df.df <= greatest(1000, CAST(floor(0.05 * n.n) AS BIGINT))),
+      w AS (SELECT doc_id, tf.term AS term,
+              tf.tf * CAST(floor(1000.0 * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0)) AS BIGINT) AS w
+            FROM tf JOIN df ON tf.term = df.term
+                   JOIN ok ON ok.term = tf.term CROSS JOIN n),
+      nrm AS (SELECT doc_id, sum(w * w) AS norm2 FROM w GROUP BY doc_id),
+      q AS (SELECT term, doc_id AS id_a FROM w WHERE doc_id < 50),
+      p AS (SELECT DISTINCT q.id_a, w2.doc_id AS id_b
+            FROM q JOIN w w2 ON w2.term = q.term),
+      dot AS (SELECT p.id_a, p.id_b, sum(wa.w * wb.w) AS dot
+              FROM p JOIN w wa ON wa.doc_id = p.id_a
+                     JOIN w wb ON wb.doc_id = p.id_b AND wb.term = wa.term
+              GROUP BY p.id_a, p.id_b)
+      SELECT id_a, id_b, cosine_q FROM (
+        SELECT p.id_a, p.id_b,
+          CAST(floor(100000.0 * least(1.0, COALESCE(dot.dot, 0) /
+            (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))))) AS BIGINT) AS cosine_q
+        FROM p LEFT JOIN dot ON p.id_a = dot.id_a AND p.id_b = dot.id_b
+        JOIN nrm na ON na.doc_id = p.id_a
+        JOIN nrm nb ON nb.doc_id = p.id_b)
+      WHERE cosine_q >= 80000""",
+
     // LCS = w-1 + longest diagonal run of shared w-char windows
     // (gaps-and-islands on i - row_number), over a 32-char prefix, w = 6.
     // Candidates from rare (df <= 50) shared windows; verify is exact.

@@ -416,6 +416,41 @@ object PipelineOps {
         floor(lit(100000.0) * col("cosine")).cast("long").as("cosine_q"))
   }
 
+  /**
+   * TF-IDF search (`canopy_index.py:51-78` + the stop-word rule at
+   * `canopy_index.py:25`): for each query doc, the corpus docs whose
+   * idf-weighted cosine is >= 0.8 (the reference's tightest canopy
+   * threshold, `variables/string.py:68`). Stop terms — document frequency
+   * above max(1000, 5%·N), the reference's own cutoff — are excluded from
+   * the index entirely, so they neither generate candidates nor contribute
+   * to the cosine, exactly like `initSearch` dropping them from the zope
+   * index. Candidates = query-corpus pairs sharing at least one indexed
+   * (non-stop) term; verify = exact integer-weighted cosine
+   * ([[Comparators.cosineTfidf]]). Semantic bound: idf is the smoothed
+   * ln((N+1)/(df+1))+1 of [[Comparators.tfidfWeights]], not zope's exact
+   * weighting — thresholds tune accordingly.
+   */
+  def tfidfSearch(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.count()
+    val cap = math.max(1000L, (0.05 * n).toLong)
+    val toked = d.select(col("doc_id"), Queries.toks(col("text")).as("terms"))
+    val w = Comparators.tfidfWeights(toked, "doc_id", "terms", n)
+    val dfTab = toked.select(col("doc_id"), explode(col("terms")).as("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val okTerms = dfTab.filter(col("df") <= cap).select(col("term"))
+    val wIdx = w.join(okTerms, Seq("term")) // stop terms never enter the index
+    val qTerms = wIdx.filter(col("doc_id") < 50)
+      .select(col("term"), col("doc_id").as("id_a"))
+    val cand = qTerms
+      .join(wIdx.select(col("term"), col("doc_id").as("id_b")), Seq("term"))
+      .select(col("id_a"), col("id_b")).distinct()
+    Comparators.cosineTfidf(cand, wIdx, "doc_id")
+      .select(col("id_a"), col("id_b"),
+        floor(lit(100000.0) * col("cosine")).cast("long").as("cosine_q"))
+      .filter(col("cosine_q") >= 80000)
+  }
+
   /** CosineSetSimilarity (`variables/set.py:31-36`): same corpus-weighted
     * cosine with 0/1 term presence over the distinct-token set field. */
   def scoreCosineSet(s: SparkSession, dir: String): DataFrame = {

@@ -116,6 +116,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(local == dist, s"local=$local dist=$dist")
   }
 
+  test("r3 operators: no all-pairs joins; LCS hot-window drop is a broadcast anti-join") {
+    import graft.ops.PipelineOps
+    // cosine/tfidf/embed queries: candidates always come from equi-joins
+    for (q <- Seq(PipelineOps.scoreCosineTfidf(spark, sf),
+                  PipelineOps.tfidfSearch(spark, sf),
+                  PipelineOps.dedupEmbedCosine(spark, sf),
+                  PipelineOps.scoreLcsSuffix(spark, sf))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs join leaked into the plan:\n$plan")
+    }
+    // the LCS stop-word drop must be the broadcast anti-join shape
+    val lcs = PipelineOps.scoreLcsSuffix(spark, sf).queryExecution.executedPlan.toString
+    assert(lcs.contains("BroadcastHashJoin") && lcs.contains("LeftAnti"),
+      s"LCS hot-window drop is not a broadcast anti-join:\n$lcs")
+  }
+
   test("CC distributed loop uses reliable checkpoints when a checkpoint dir is set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
