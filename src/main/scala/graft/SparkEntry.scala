@@ -62,7 +62,7 @@ object SparkEntry {
     "pred_exists" -> (Queries.predExists _),
     "pred_order_of_magnitude" -> (Queries.predOrderOfMagnitude _),
     "pred_round_to1" -> (Queries.predRoundTo1 _),
-    "pred_latlong_grid" -> (Queries.predLatLongGrid _), // rows-only (float grid)
+    "pred_latlong_grid" -> (Queries.predLatLongGrid _),
     "pred_double_metaphone" -> (Queries.predDoubleMetaphone _), // rows-only (no DuckDB metaphone)
     // pair generation (§2.3)
     "pairs_self_join" -> (Queries.pairsSelfJoin _),
@@ -91,7 +91,7 @@ object SparkEntry {
     "q_count_distinct" -> (Queries.qCountDistinct _),
     "q_events_window" -> (Queries.qEventsWindow _),
     "q_json_extract" -> (Queries.qJsonExtract _),
-    "scan_csv_preprocess" -> (Queries.scanCsvPreprocess _), // rows-only (temp CSV source)
+    "scan_csv_preprocess" -> (Queries.scanCsvPreprocess _),
     // training-data pipeline operators
     "dedup_exact" -> (PipelineOps.dedupExact _),
     "dedup_minhash_sig" -> (PipelineOps.minhashSignatures _),
@@ -103,7 +103,7 @@ object SparkEntry {
     "text_langid" -> (PipelineOps.textLangId _),
     "text_fingerprint" -> (PipelineOps.textFingerprint _),
     "ann_l2_topk" -> (PipelineOps.annTopK _),
-    "ann_cosine_topk" -> (PipelineOps.annCosine _), // rows-only (float math)
+    "ann_cosine_topk" -> (PipelineOps.annCosine _),
     "dedup_embed_cosine" -> (PipelineOps.dedupEmbedCosine _),
     "gazette_search_empty_fill" -> (PipelineOps.gazetteSearchEmptyFill _),
     "training_pairs" -> (PipelineOps.trainingPairs _),

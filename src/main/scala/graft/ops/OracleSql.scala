@@ -97,6 +97,18 @@ object OracleSql {
     "scan_docs" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 100",
 
+    // the CSV fixture is written by the Spark query to a FIXED tmp path; the
+    // oracle reads the same file and mirrors the normalize_text chain
+    // (collapse 2+ spaces, \n -> space, trim, strip '"', strip "'", lower)
+    "scan_csv_preprocess" -> {
+      def norm(x: String) =
+        s"""lower(trim(trim(trim(replace(regexp_replace($x, '  +', ' ', 'g'), chr(10), ' ')), '"'), ''''))"""
+      s"""
+      SELECT CAST(id AS BIGINT) AS id, ${norm("name")} AS name, ${norm("city")} AS city
+      FROM read_csv('${System.getProperty("java.io.tmpdir")}/graft_csv_fixture.csv',
+                    header=true, quote='"', all_varchar=true)"""
+    },
+
     // -------------------------------------------------------- predicates
     "pred_first_token" -> s"""
       SELECT doc_id, regexp_extract(text, '^([a-z0-9'']+)', 1) AS key
@@ -411,6 +423,41 @@ object OracleSql {
     },
 
 
+    // bucketed cosine top-k: identical multiprobe candidate set to
+    // ann_l2_topk; the double sums run in list order in both engines, so
+    // the quantized cosine is bit-exact cross-engine
+    "ann_cosine_topk" -> {
+      def bit(i: Int, weight: Int) = s"""
+        (CASE WHEN list_aggregate(list_transform(generate_series(1, len(q)),
+           d -> q[d] * ((CAST('0x' || substr(md5('hp#$i#' || CAST(d AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000)),
+           'sum') >= 0 THEN $weight ELSE 0 END)"""
+      s"""
+      WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT)) AS q,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      c AS (SELECT vec_id, q, v,
+          ${bit(0, 8)} + ${bit(1, 4)} + ${bit(2, 2)} + ${bit(3, 1)} AS cell
+        FROM e),
+      probes AS (SELECT vec_id AS query_id,
+          unnest([cell, xor(cell, 1), xor(cell, 2), xor(cell, 4), xor(cell, 8),
+                  xor(cell, 3), xor(cell, 5), xor(cell, 6), xor(cell, 9),
+                  xor(cell, 10), xor(cell, 12)]) AS cell
+        FROM c WHERE vec_id < 10),
+      cand AS (SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+        FROM probes p JOIN c ON p.cell = c.cell WHERE c.vec_id <> p.query_id),
+      d AS (SELECT cand.query_id, cand.neighbor_id,
+          list_aggregate(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), 'sum') /
+          (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum')) *
+           sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))) AS cosine
+        FROM cand JOIN c a ON cand.query_id = a.vec_id JOIN c b ON cand.neighbor_id = b.vec_id)
+      SELECT query_id, neighbor_id, rnk,
+        CAST(floor(100000.0 * cosine) AS BIGINT) AS cos_q
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        FROM d) WHERE rnk <= 5"""
+    },
+
     // same-cell candidate pairs + exact integer-quantized cosine filter
     "dedup_embed_cosine" -> {
       def bit(i: Int, weight: Int) = s"""
@@ -434,6 +481,19 @@ object OracleSql {
              sqrt(CAST(list_aggregate(list_transform(qb, x -> x * x), 'sum') AS DOUBLE))))) AS BIGINT) AS cos_q
         FROM p)
       WHERE cos_q >= 15000"""
+    },
+
+    // pmod mirrored EXACTLY: Spark only adds the modulus when the fmod is
+    // negative (no second fmod, so no extra rounding step) — a naive
+    // ((x % m) + m) % m loses low bits on the + m and flips floor boundaries
+    "pred_latlong_grid" -> {
+      def pm(e: String, m: String) =
+        s"(CASE WHEN ($e) % $m < 0 THEN ($e) % $m + $m ELSE ($e) % $m END)"
+      s"""
+      SELECT event_id,
+        CAST(floor(${pm("value", "180.0")} * 10) / 10 - 90.0 AS DECIMAL(10,1)) AS lat_g,
+        CAST(floor(${pm("value * 2", "360.0")} * 10) / 10 - 180.0 AS DECIMAL(10,1)) AS lon_g
+      FROM events"""
     },
 
     "pred_hundred_integers_odd" -> """

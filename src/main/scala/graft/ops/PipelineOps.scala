@@ -278,7 +278,12 @@ object PipelineOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     dist.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      // the per-row double sums run in list order in BOTH engines (Spark's
+      // aggregate HOF and DuckDB's list_aggregate are sequential), so the
+      // cosine is bit-identical cross-engine and the quantized column is
+      // oracle-checkable despite the float tail
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        floor(lit(100000.0) * col("cosine")).cast("long").as("cos_q"))
   }
 
   /** Embedding-cosine near-duplicate pairs (`dedup_embed_cosine`): vectors

@@ -398,8 +398,10 @@ object Queries {
   }
 
   def scanCsvPreprocess(s: SparkSession, dir: String): DataFrame = {
+    // fixed fixture path: the 200 rows are dir-independent, and a stable
+    // location lets the DuckDB oracle read_csv the very same file
     val csvPath = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_csv_" + dir.replaceAll("[^a-z0-9.]", "_")).getAbsolutePath
+      "graft_csv_fixture.csv").getAbsolutePath
     val f = new java.io.File(csvPath)
     if (!f.exists()) {
       val rows = (0 until 200).map { i =>
