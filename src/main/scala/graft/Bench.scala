@@ -19,7 +19,8 @@ object Bench {
     "pairs_self_join", "score_jaccard_tokens", "score_cosine_tfidf",
     "score_lcs_suffix", "cluster_cc",
     "dedup_exact", "dedup_minhash_sig", "dedup_simhash16",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embed_cosine",
+    "tfidf_search",
     "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
     "ann_l2_topk", "mm_binary_meta")
 
