@@ -66,6 +66,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_._1).distinct.length == 2)
   }
 
+  test("LCS diagonal-run identity == DP longest common substring (score_lcs_suffix core)") {
+    // a common substring of length L >= w contains exactly L-w+1 consecutive
+    // aligned w-windows on one diagonal, so LCS = w-1 + max diagonal run;
+    // checked against the classic DP on random small-alphabet strings
+    val w = 3
+    def dpLcs(a: String, b: String): Int = {
+      val m = Array.ofDim[Int](a.length + 1, b.length + 1); var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        if (a(i - 1) == b(j - 1)) { m(i)(j) = m(i - 1)(j - 1) + 1; best = math.max(best, m(i)(j)) }
+      best
+    }
+    val rnd = new scala.util.Random(42)
+    def rs(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    for (_ <- 1 to 20) {
+      val (sa, sb) = (rs(8 + rnd.nextInt(12)), rs(8 + rnd.nextInt(12)))
+      val wins = Seq((1L, sa), (2L, sb)).toDF("doc_id", "t")
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(1, greatest(length(t) - ${w - 1}, 0)), i -> named_struct('i', i, 'win', substring(t, i, $w)))")).as("s"))
+        .select($"doc_id", $"s.i".as("i"), $"s.win".as("win"))
+      val pr = wins.filter($"doc_id" === 1).as("a")
+        .join(wins.filter($"doc_id" === 2).as("b"), col("a.win") === col("b.win"))
+        .select(col("a.i").as("i"), col("b.i").as("j"))
+      val byDiag = org.apache.spark.sql.expressions.Window
+        .partitionBy($"diag").orderBy($"i")
+      val got = pr.withColumn("diag", $"i" - $"j")
+        .withColumn("grp", $"i" - row_number().over(byDiag))
+        .groupBy($"diag", $"grp").agg(count(lit(1)).as("run"))
+        .agg(max($"run")).as[Option[Long]].head()
+      val expected = dpLcs(sa, sb)
+      if (expected >= w) assert(got.contains(expected.toLong - w + 1), s"'$sa' vs '$sb': dp=$expected got=$got")
+      else assert(got.isEmpty, s"'$sa' vs '$sb': no shared window expected, got=$got")
+    }
+  }
+
   test("streaming gazetteer end-to-end: foreachBatch search + novel indexing") {
     val cfg = DedupConfig()
     val dir = java.nio.file.Files.createTempDirectory("gaz_stream").toString
