@@ -105,6 +105,7 @@ object SparkEntry {
     "ann_l2_topk" -> (PipelineOps.annTopK _),
     "ann_cosine_topk" -> (PipelineOps.annCosine _),
     "dedup_embed_cosine" -> (PipelineOps.dedupEmbedCosine _),
+    "mm_frame_sample" -> (PipelineOps.mmFrameSample _),
     "gazette_search_empty_fill" -> (PipelineOps.gazetteSearchEmptyFill _),
     "training_pairs" -> (PipelineOps.trainingPairs _),
     "training_pairs_link" -> (PipelineOps.trainingPairsLink _),

@@ -739,6 +739,17 @@ object OracleSql {
     "mm_binary_meta" -> s"""
       SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
              ${H60("text")} AS content_h
-      FROM documents"""
+      FROM documents""",
+
+    // frame-sampling schedule: ceil-div frame count, every-3rd frame index
+    "mm_frame_sample" -> """
+      SELECT doc_id, n_frames, frame_idx, frame_idx * 4096 AS byte_offset
+      FROM (
+        SELECT doc_id, n_frames,
+               unnest(generate_series(0, n_frames - 1, 3)) AS frame_idx
+        FROM (SELECT doc_id,
+                (CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * 97 + 4095) // 4096 AS n_frames
+              FROM documents)
+        WHERE n_frames >= 1)"""
   )
 }

@@ -591,4 +591,31 @@ object PipelineOps {
     docs(s, dir).select(col("doc_id"),
       length(col("text").cast("binary")).cast("long").as("n_bytes"),
       h60(col("text")).as("content_h"))
+
+  /** Frame sampling over opaque media blobs (`mm_frame_sample`): treat the
+    * payload as fixed-rate media (1 frame / 4 KiB here; real codecs replace
+    * the divisor, not the plan) and emit every `every`-th frame index plus
+    * its byte offset — the partition-parallel index arithmetic that drives
+    * a frame-extraction stage (the decode itself stays in
+    * [[Multimodal.extract]]'s batched stub; this op is the SCHEDULE, which
+    * is pure relational work and therefore oracle-checkable). */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val bytesPerFrame = 4096L
+    val every = 3
+    docs(s, dir)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      // deterministic synthetic payload size: text bytes stand in for media
+      // bytes, scaled so docs span multiple frames
+      .select(col("doc_id"), (col("n_bytes") * 97L).as("media_bytes"))
+      .select(col("doc_id"), col("media_bytes"),
+        expr(s"(media_bytes + ${bytesPerFrame - 1L}) div $bytesPerFrame").as("n_frames"))
+      // empty/null payloads have no frames (and sequence() rejects an
+      // inverted range), so they emit no schedule rows
+      .filter(col("n_frames") >= 1L)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1L, lit(every.toLong))).as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        (col("frame_idx") * bytesPerFrame).as("byte_offset"))
+  }
 }
