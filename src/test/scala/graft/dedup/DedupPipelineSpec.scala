@@ -19,6 +19,25 @@ class DedupPipelineSpec extends AnyFunSuite {
   private lazy val pages = WebText.synthetic(spark, 300).toDF().cache()
   private lazy val clusters = Pipeline.run(spark, pages, cfg).cache()
 
+  test("simhashPairs: chunk blocking finds EXACTLY the pairs within the hamming radius") {
+    // pigeonhole: with simhashBands chunks, any pair within
+    // simhashMaxHamming < simhashBands flipped bits shares a chunk — so the
+    // chunk-blocked verified pairs must equal the brute-force filter
+    val small = WebText.synthetic(spark, 40).toDF()
+    val sigs = Blocking.signatures(small.select($"url", $"text"), cfg)
+    val got = Blocking.simhashPairs(sigs, cfg)
+      .as[(String, String, Int)].collect()
+    assert(got.forall(_._3 <= cfg.simhashMaxHamming))
+    val fps = sigs.select($"url", $"simhash").as[(String, Long)].collect().toMap
+    val expected = (for {
+      x <- fps.keys; y <- fps.keys if x < y
+      if graft.texthash.TextHash.hamming64(fps(x), fps(y)) <= cfg.simhashMaxHamming
+    } yield (x, y)).toSet
+    assert(got.map(p => (p._1, p._2)).toSet == expected,
+      s"chunk-blocked pairs must equal the brute-force radius filter (${expected.size} expected)")
+    assert(expected.nonEmpty, "fixture must contain at least one near-identical pair")
+  }
+
   test("every input url appears in exactly one output cluster (api.py:209-218)") {
     val n = pages.count()
     assert(clusters.count() == n)
