@@ -99,6 +99,7 @@ object SparkEntry {
     "dedup_simhash16" -> (PipelineOps.simhash16 _),
     "dedup_ngram_jaccard" -> (PipelineOps.dedupNgramJaccard _),
     "text_token_stats" -> (PipelineOps.textTokenStats _),
+    "text_bpe_tokens" -> (PipelineOps.textBpeTokens _),
     "text_quality" -> (PipelineOps.textQuality _),
     "text_langid" -> (PipelineOps.textLangId _),
     "text_fingerprint" -> (PipelineOps.textFingerprint _),

@@ -363,6 +363,12 @@ object OracleSql {
              CAST(len(text) AS BIGINT) AS len_chars
       FROM documents""",
 
+    "text_bpe_tokens" -> """
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, ' ?[a-z0-9'']+| ?[^ a-z0-9'']+| +')) AS BIGINT) AS n_bpe,
+        CAST(len(text) AS BIGINT) AS n_chars_t
+      FROM documents""",
+
     "text_quality" -> s"""
       SELECT doc_id,
         CAST(floor(len(list_intersect(list_distinct($TOKS), ['the','a','and','of','to'])) * 1000.0

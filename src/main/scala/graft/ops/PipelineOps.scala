@@ -140,6 +140,17 @@ object PipelineOps {
       size(array_distinct(toks(col("text")))).cast("long").as("n_distinct"),
       length(col("text")).cast("long").as("len_chars"))
 
+  /** BPE-ish token count: a lookahead-free simplification of the GPT-2
+    * pre-tokenizer regex (optional leading space + letter/digit run, or
+    * punctuation run, or whitespace run) — the standard cheap estimate of
+    * LLM token counts for budget accounting. Kept to regex features RE2 and
+    * Java share so the DuckDB oracle runs the IDENTICAL pattern. */
+  def textBpeTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      size(regexp_extract_all(col("text"),
+        lit(" ?[a-z0-9']+| ?[^ a-z0-9']+| +"), lit(0))).cast("long").as("n_bpe"),
+      length(col("text")).cast("long").as("n_chars_t"))
+
   /** Quality-score features: integer-safe ratios (x1000). */
   def textQuality(s: SparkSession, dir: String): DataFrame = {
     val t = toks(col("text"))
