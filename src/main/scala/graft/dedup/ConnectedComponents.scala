@@ -32,10 +32,33 @@ object ConnectedComponents {
     * session has a checkpoint dir configured (cluster jobs set one — local
     * checkpoint blocks die with their executor, so at 1000 executors any
     * loss forces a recompute from nothing), else an executor-local
-    * checkpoint (the single-JVM sandbox default). */
+    * checkpoint (the single-JVM sandbox default).
+    *
+    * Reliable-path cost note: Spark writes ReliableRDDCheckpointData by
+    * re-running the RDD in a SEPARATE job after the materializing action,
+    * so an unpersisted iterate would compute its whole plan twice per round.
+    * The iterate is therefore persisted first — the checkpoint writer then
+    * reads the cached blocks — and the cache is released via [[release]]
+    * once the files are down. Checkpoint files of superseded rounds are
+    * reclaimed by the ContextCleaner when the RDD is GC'd PROVIDED
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+    * false): cluster submit scripts for long sessions should set it, or
+    * clean the checkpoint dir between runs. */
   private def truncate(df: DataFrame, eager: Boolean): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
-    else df.localCheckpoint(eager)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      val cp = df.checkpoint(eager)
+      if (eager) df.unpersist(blocking = false) // files written; cache done
+      cp
+    } else df.localCheckpoint(eager)
+
+  /** Release a lazily-truncated iterate's pre-checkpoint cache — call after
+    * the first action on the checkpointed frame has run (which is when the
+    * reliable checkpoint files get written). No-op on the local path (the
+    * input was never registered with the CacheManager there). */
+  private def release(df: DataFrame): Unit =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.unpersist(blocking = false)
 
 
   private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -128,10 +151,11 @@ object ConnectedComponents {
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(xxhash64($"id", $"comp").cast("decimal(38,0)"))).head().getDecimal(0)
 
-    var assign = sym.select($"src".as("id")).distinct()
+    val assign0 = sym.select($"src".as("id")).distinct()
       .withColumn("comp", $"id")
-      .transform(truncate(_, eager = false))
+    var assign = truncate(assign0, eager = false)
     var prevSum = checksum(assign) // also materializes the checkpoint
+    release(assign0)
     if (prevSum == null) { sym.unpersist(); return assign } // empty edge set
 
     var iter = 0
@@ -151,12 +175,13 @@ object ConnectedComponents {
 
       // pointer jumping: comp <- comp(comp)
       val jumpTargets = stepped.select($"id".as("jid"), $"comp".as("jcomp"))
-      val next = stepped
+      val next0 = stepped
         .join(jumpTargets.hint("shuffle_hash"), stepped("comp") === jumpTargets("jid"), "left")
         .select(stepped("id"), coalesce($"jcomp", stepped("comp")).as("comp"))
-        .transform(truncate(_, eager = false)) // materialized by the checksum action below
+      val next = truncate(next0, eager = false) // materialized by the checksum action below
 
       val nextSum = checksum(next)
+      release(next0)
       changed = nextSum != prevSum
       prevSum = nextSum
       assign = next

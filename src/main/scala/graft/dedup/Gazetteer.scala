@@ -32,12 +32,19 @@ import graft.io.TableIO
  */
 object Gazetteer {
 
-  /** Signature rows stored in the index: (url, shingles, sig, simhash). */
+  /** Signature rows stored in the index: (url, shingles, sig, simhash).
+    * One row per url: a batch carrying the same url twice would break the
+    * REPLACE-by-url invariant downstream (the Iceberg `MERGE INTO` fails at
+    * runtime on multi-source matches; the parquet branch would insert both)
+    * — so duplicates collapse here, keeping an arbitrary-but-deterministic
+    * representative, matching the last-write-wins spirit of the reference's
+    * `REPLACE INTO` loop (`api.py:696-736`). */
   def signatureRows(pages: DataFrame, cfg: DedupConfig): DataFrame =
     Blocking.signatures(
       pages.select(col("url"), gf.normalize_text(col("text")).as("text"))
         .filter(col("text").isNotNull), cfg)
       .select(col("url"), col("shingles"), col("sig"), col("simhash"))
+      .dropDuplicates("url")
 
   /** Catalog MERGE for the production Iceberg path: REPLACE-upsert by url
     * (`api.py:696-736`'s `REPLACE INTO` semantics). `updatesView` is a temp
@@ -88,8 +95,13 @@ object Gazetteer {
     if (fs.exists(live)) { fs.delete(tmp, true); fs.delete(old, true) }
   }
 
-  /** Live index presence, after crash recovery. */
-  private def indexExists(spark: SparkSession, path: String): Boolean = {
+  /** Live index presence, after crash recovery. Public: any caller probing
+    * for the index (e.g. [[graft.streaming.GazetteerStream.run]]) MUST go
+    * through this — a raw `checkpointExists` probe after a crashed swap
+    * (live renamed to `__old`, promotion not yet done) would see "no index",
+    * empty-fill every query as novel, and then re-index already-canonical
+    * records when `index`'s own recovery restores the old table. */
+  def indexExists(spark: SparkSession, path: String): Boolean = {
     if (!TableIO.icebergAvailable(spark)) recoverSwap(spark, path)
     TableIO.checkpointExists(spark, path)
   }
@@ -108,7 +120,7 @@ object Gazetteer {
     } else {
       val updated =
         if (indexExists(spark, path))
-          TableIO.read(spark, path)
+          TableIO.requireIntShingles(TableIO.read(spark, path), s"gazetteer index $path")
             .join(rows.select(col("url")), Seq("url"), "left_anti")
             .unionByName(rows)
         else rows
@@ -125,7 +137,7 @@ object Gazetteer {
       spark.sql(deleteSql(path, "__graft_gazette_unindex"))
     } else {
       if (!indexExists(spark, path)) return
-      val updated = TableIO.read(spark, path)
+      val updated = TableIO.requireIntShingles(TableIO.read(spark, path), s"gazetteer index $path")
         .join(urls.select(col("url")), Seq("url"), "left_anti")
       rewrite(spark, path, updated)
     }
@@ -134,7 +146,7 @@ object Gazetteer {
   /** The indexed table with derived LSH band keys, ready for the band join. */
   def bandedIndex(spark: SparkSession, path: String, cfg: DedupConfig): DataFrame = {
     if (!TableIO.icebergAvailable(spark)) recoverSwap(spark, path)
-    TableIO.read(spark, path)
+    TableIO.requireIntShingles(TableIO.read(spark, path), s"gazetteer index $path")
       .select(col("url").as("match_url"), col("shingles").as("m_shingles"),
         explode(gf.band_keys(col("sig"), cfg.bands)).as("band"))
   }

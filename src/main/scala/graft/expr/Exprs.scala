@@ -91,9 +91,27 @@ object Exprs {
       copy(child = newChild)
   }
 
-  /** Exact Jaccard of two sorted-distinct long arrays (linear merge). */
+  /** Exact Jaccard of two sorted-distinct int arrays (linear merge).
+    * Input types are ENFORCED: the int32-shingle schema changed in round 3,
+    * and an untyped read of a pre-migration array<bigint> table would either
+    * misread with a 4-byte stride (silent garbage scores) or throw a raw
+    * ClassCastException — `inputTypes` turns both into an analysis-time
+    * failure naming the expected element type (see also
+    * [[graft.io.TableIO.requireIntShingles]] for the migration message on
+    * persisted-table read paths). */
   case class JaccardSorted(left: Expression, right: Expression)
       extends BinaryExpression {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(IntegerType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted expects two ARRAY<INT> shingle columns, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql} — a pre-int32-shingle " +
+          "table must be re-generated, not cast (sort order changed)")
+    }
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
       Kernels.jaccardSorted(

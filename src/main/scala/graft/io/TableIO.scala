@@ -30,6 +30,26 @@ object TableIO {
     else w.parquet(path)
   }
 
+  /** Schema guard for persisted signature tables feeding `jaccard_sorted`:
+    * shingles migrated from array<bigint> (32-bit-masked) to array<int> in
+    * an on-disk-incompatible way (old arrays are also sorted in unsigned-
+    * long order, so even a value-preserving cast would merge wrong). Fail
+    * fast with a migration message instead of misreading. */
+  def requireIntShingles(df: DataFrame, context: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    df.schema.find(_.name == "shingles").foreach { f =>
+      f.dataType match {
+        case ArrayType(IntegerType, _) => ()
+        case other => throw new IllegalStateException(
+          s"$context: persisted `shingles` column has type ${other.sql}, expected ARRAY<INT>. " +
+            "This table was written by a pre-int32-shingle build and cannot be read back " +
+            "(element width AND sort order changed); re-index / re-run the producing stage " +
+            "with the current build to migrate.")
+      }
+    }
+    df
+  }
+
   /** A checkpoint is complete when its `_SUCCESS` marker exists. */
   def checkpointExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")

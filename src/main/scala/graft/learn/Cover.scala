@@ -1,0 +1,121 @@
+package graft.learn
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed coverage tables for the blocking learner — the engine's
+ * realization of `BlockLearner.cover` and `DedupeBlockLearner.coveredPairs`
+ * (`training.py:97-129`, `training.py:156-185`).
+ *
+ * Spark-first shape: coverage is built as long-format DataFrames
+ * (predicate, pair) / (predicate, block, record) — one flatMap over the
+ * labeled pairs / sampled records applying the pure predicate kernels,
+ * followed by relational aggregation. Nothing quadratic ever materializes
+ * outside a (predicate, block) bucket, and bucket membership is bounded by
+ * the reference's own sampling cap (`labeler.py:229-233`
+ * N_SAMPLED_RECORDS = 5000): the set-cover SEARCH then runs driver-side on
+ * the collected match-cover sets, exactly where the reference runs it.
+ */
+object Cover {
+
+  /**
+   * Match cover rows — which labeled match pairs each predicate covers
+   * (`training.py:97-123` `cover`: predicate(r1) ∩ predicate(r2) ≠ ∅).
+   *
+   * @param pairs (pair_id: long, f1: string, f2: string) labeled match
+   *              pairs, pair_id = the index `i` of the reference's cover
+   * @return (predicate: string, pair_id: long)
+   */
+  def matchCover(pairs: DataFrame, preds: Seq[NamedPredicate]): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col("pair_id").cast("long"), col("f1"), col("f2"))
+      .as[(Long, String, String)]
+      .flatMap { case (i, f1, f2) =>
+        preds.iterator.collect {
+          case p if {
+            val k2 = p(f2)
+            k2.nonEmpty && p(f1).exists(k2.contains)
+          } => (p.name, i)
+        }
+      }
+      .toDF("predicate", "pair_id")
+  }
+
+  /**
+   * Block rows over the sampled records: every (predicate, block key,
+   * record) assignment — the long-format `pred_cover` of
+   * `DedupeBlockLearner.coveredPairs` (`training.py:160-170`).
+   *
+   * @param records (rid: long, f: string)
+   * @return (predicate, block, rid)
+   */
+  def blockRows(records: DataFrame, preds: Seq[NamedPredicate]): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.select(col("rid").cast("long"), col("f"))
+      .as[(Long, String)]
+      .flatMap { case (rid, f) =>
+        preds.iterator.flatMap(p => p(f).iterator.map(b => (p.name, b, rid)))
+      }
+      .toDF("predicate", "block", "rid")
+  }
+
+  /**
+   * Per-predicate count of distinct record pairs co-blocked over the
+   * sampled records — `len(comparison_cover[predicate])`, the cost each
+   * predicate carries into the set-cover search (`training.py:263`
+   * `cover_count`). Mirrors `coveredPairs` (`training.py:156-185`):
+   * a predicate is dropped when its largest block covers ALL sampled
+   * records (`max_cover == n_records`, `training.py:171-173` — a
+   * constant-key predicate blocks everything with everything), and the
+   * pair set is distinct ACROSS blocks before counting.
+   *
+   * The pair enumeration runs inside (predicate, block) buckets as a
+   * codegen equi-self-join, the same shape as
+   * [[graft.dedup.Blocking.candidatePairs]]; only per-predicate counts
+   * leave the cluster — the pair sets themselves never reach the driver.
+   *
+   * @return (predicate: string, cover_count: long)
+   */
+  def comparisonCoverCounts(records: DataFrame, preds: Seq[NamedPredicate],
+                            nRecords: Long): DataFrame = {
+    val br = blockRows(records, preds)
+    val blockSizes = br.groupBy(col("predicate"), col("block"))
+      .agg(count(lit(1)).as("sz"))
+    val eligible = blockSizes.groupBy(col("predicate"))
+      .agg(max(col("sz")).as("max_cover"))
+      .filter(col("max_cover") < nRecords)
+      .select(col("predicate"))
+    val kept = br.join(broadcast(eligible), Seq("predicate"))
+    kept.as("x")
+      .join(kept.as("y"),
+        col("x.predicate") === col("y.predicate") &&
+          col("x.block") === col("y.block") && col("x.rid") < col("y.rid"))
+      .select(col("x.predicate").as("predicate"),
+        col("x.rid").as("a"), col("y.rid").as("b"))
+      .distinct()
+      .groupBy(col("predicate"))
+      .agg(count(lit(1)).as("cover_count"))
+  }
+
+  /** Deterministic record sampling to the reference's cap
+    * (`labeler.py:229-233` N_SAMPLED_RECORDS): the reference random-samples
+    * (`labeler.py:491-496`); here the first `cap` records in rid order —
+    * deterministic under any parallelism, which the engine's
+    * reproducibility rules require. */
+  def sampleRecords(records: DataFrame, cap: Int): DataFrame =
+    records.orderBy(col("rid")).limit(cap)
+
+  /** Collect a (predicate, pair_id) match-cover frame into predicate →
+    * covered-index sets, ordered by `preds` declaration order (Python dict
+    * insertion order — the learner's tie-breaks depend on it). */
+  private[learn] def collectMatchCover(mc: DataFrame, preds: Seq[NamedPredicate])
+      : Vector[(String, Set[Int])] = {
+    val rows = mc.collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    preds.iterator.map(_.name).flatMap(n => rows.get(n).map(n -> _)).toVector
+  }
+}

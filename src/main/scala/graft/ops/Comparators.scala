@@ -99,20 +99,32 @@ object Comparators {
    * @return (idCol, term, w: long)
    */
   def tfidfWeights(docs: DataFrame, idCol: String, termsCol: String, nDocs: Long,
-                   setSemantics: Boolean = false, weighted: Boolean = true): DataFrame = {
+                   setSemantics: Boolean = false, weighted: Boolean = true): DataFrame =
+    tfidfWeightsWithDf(docs, idCol, termsCol, nDocs, setSemantics, weighted)._1
+
+  /** [[tfidfWeights]] plus the (term, df) document-frequency table it
+    * derives internally. Callers that also need df — e.g. the stop-term
+    * rule in [[PipelineOps.tfidfSearch]] — MUST take it from here rather
+    * than re-aggregating the corpus: both the weights and the returned df
+    * frame hang off the SAME tf aggregation sub-plan, so Spark's exchange
+    * reuse runs that corpus scan + shuffle exactly once per query. */
+  def tfidfWeightsWithDf(docs: DataFrame, idCol: String, termsCol: String, nDocs: Long,
+                         setSemantics: Boolean = false, weighted: Boolean = true): (DataFrame, DataFrame) = {
     val exploded = docs.select(col(idCol), explode(col(termsCol)).as("term"))
     val tf =
       if (setSemantics) exploded.distinct().withColumn("tf", lit(1L))
       else exploded.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    if (!weighted)
-      tf.select(col(idCol), col("term"), col("tf").cast("long").as("w"))
-    else {
-      val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val idfQ = floor(lit(1000.0) *
-        (log(lit((nDocs + 1).toDouble) / (col("df") + lit(1)).cast("double")) + lit(1.0)))
-      tf.join(dfTab, Seq("term"))
-        .select(col(idCol), col("term"), (col("tf") * idfQ).cast("long").as("w"))
-    }
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w =
+      if (!weighted)
+        tf.select(col(idCol), col("term"), col("tf").cast("long").as("w"))
+      else {
+        val idfQ = floor(lit(1000.0) *
+          (log(lit((nDocs + 1).toDouble) / (col("df") + lit(1)).cast("double")) + lit(1.0)))
+        tf.join(dfTab, Seq("term"))
+          .select(col(idCol), col("term"), (col("tf") * idfQ).cast("long").as("w"))
+      }
+    (w, dfTab)
   }
 
   /**

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.learn.{BlockLearner, Cover, Disagreement, LogisticRegression, NamedPredicate, PredicateZoo}
+
+/**
+ * Catalog queries for the learning surface (SURVEY.md §2.7): predicate
+ * coverage, blocking-rule learning, deterministic classifier fitting and
+ * the active-learning disagreement ranking — each over deterministic
+ * fixtures derived from the `documents` table so runs are reproducible at
+ * any SF.
+ */
+object LearnOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic labeled "match" fixture: each of the first 25 docs
+    * paired with itself minus its last two word tokens — a truncation dup,
+    * the common web near-dup (f2 keeps >= 1 token so predicates see text).
+    * pair_id = 0..n-1 in doc_id order. */
+  private def matchFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 25)
+      .select(col("doc_id"), col("text"))
+    val trunc = expr(
+      "array_join(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 1)), ' ')")
+    d.select(col("doc_id").as("pair_id"), col("text").as("f1"), trunc.as("f2"))
+  }
+
+  /** Consecutive-doc pair fixture for the coverage oracle: (doc d, doc d+1)
+    * — unrelated in general, so coverage counts are discriminative. */
+  private def consecutivePairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("pair_id"),
+        col("a.text").as("f1"), col("b.text").as("f2"))
+  }
+
+  /** The SQL-expressible subset of the zoo used by the oracle-checked
+    * coverage query (the full 24-predicate zoo runs in `learn_predicates`;
+    * DuckDB can express these four exactly). */
+  private def oraclePreds: Seq[NamedPredicate] = {
+    val all = PredicateZoo.stringPredicates("text").map(p => p.name -> p).toMap
+    Seq("(wholeFieldPredicate, text)", "(firstTokenPredicate, text)",
+      "(tokenFieldPredicate, text)", "(sameThreeCharStartPredicate, text)")
+      .map(all)
+  }
+
+  /** Match-cover counts per predicate over the consecutive-pair fixture —
+    * the `BlockLearner.cover` table (`training.py:97-123`) surfaced as a
+    * catalog query, DuckDB-oracled for the 4 SQL-expressible predicates. */
+  def learnCover(s: SparkSession, dir: String): DataFrame =
+    Cover.matchCover(consecutivePairs(s, dir), oraclePreds)
+      .groupBy(col("predicate"))
+      .agg(count(lit(1)).as("covered_pairs"))
+
+  /** Learned blocking-rule set (`BlockLearner.learn`, `training.py:37-95` +
+    * `branch_and_bound.py:46-90`) over the truncation-dup fixture: the
+    * cheapest predicate subset covering all coverable matches. Rows-only
+    * (set-cover search is not SQL-expressible); semantics are golden-tested
+    * against `tests/test_training.py` in LearnSpec. */
+  def learnPredicates(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val records = docs(s, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id").as("rid"), col("text").as("f"))
+    val learned = BlockLearner.learn(
+      matchFixture(s, dir), records, PredicateZoo.stringPredicates("text"), recall = 1.0)
+    learned.predicates.sorted
+      .map(p => (p, learned.targetCover.toLong, learned.covered.size.toLong))
+      .toDF("predicate", "target_cover", "covered_matches")
+  }
+
+  /** Deterministic LR fit + distributed inference — the train→score loop
+    * (`labeler.py:79-98` fit, `core.py:78-79` predict_proba): labels come
+    * from the truncation fixture (match) and consecutive pairs (distinct),
+    * features are integer token-overlap ratios; the fitted weights then
+    * score the candidate pairs in the cluster. Rows-only: the IRLS fit has
+    * no SQL analogue; determinism + separation are spec-tested. */
+  def learnLrScore(s: SparkSession, dir: String): DataFrame = {
+    def feats(df: DataFrame) = df.select(col("pair_id"),
+      (size(array_intersect(Queries.toks(col("f1")), Queries.toks(col("f2")))).cast("double") /
+        greatest(size(array_union(Queries.toks(col("f1")), Queries.toks(col("f2")))), lit(1)))
+        .as("f_jac"),
+      when(col("f1") === col("f2"), 1.0).otherwise(0.0).as("f_exact"))
+    val pos = feats(matchFixture(s, dir)).withColumn("label", lit(1))
+    val neg = feats(consecutivePairs(s, dir).filter(col("pair_id") < 25))
+      .withColumn("label", lit(0))
+    val (x, y) = LogisticRegression.collectTraining(
+      pos.unionByName(neg), Seq("f_jac", "f_exact"), "label")
+    val model = LogisticRegression.fit(x, y)
+    // inference runs distributed over a fresh candidate frame
+    feats(consecutivePairs(s, dir))
+      .select(col("pair_id"),
+        floor(LogisticRegression.scoreColumn(model,
+          Seq(col("f_jac"), col("f_exact"))) * 1000000).cast("long").as("score_q"))
+  }
+
+  /** Active-learning disagreement top-k (`labeler.py:348-398` as a batch
+    * ranking, see [[graft.learn.Disagreement]]): candidates scored by the
+    * fixed-sigmoid classifier, "covered" = the whole-field blocking
+    * decision. Integer-quantized keys keep the DuckDB oracle exact. */
+  def learnDisagreement(s: SparkSession, dir: String): DataFrame = {
+    val cand = consecutivePairs(s, dir).select(
+      col("pair_id").as("id_a"), (col("pair_id") + 1).as("id_b"),
+      round(lit(1.0) / (lit(1.0) + exp(-(lit(8.0) *
+        size(array_intersect(Queries.toks(col("f1")), Queries.toks(col("f2")))) /
+        greatest(size(array_union(Queries.toks(col("f1")), Queries.toks(col("f2")))), lit(1)) -
+        lit(4.0)))), 6).as("score"),
+      when(col("f1") === col("f2"), 1).otherwise(0).as("covered"))
+    Disagreement.topK(cand, 20)
+      .select(col("id_a"), col("id_b"), col("tier"),
+        floor(col("rank_key") * 1000000).cast("long").as("key_q"))
+  }
+}

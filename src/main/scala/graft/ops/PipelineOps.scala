@@ -35,20 +35,25 @@ object PipelineOps {
 
   // ------------------------------------------------- portable minhash/LSH
 
+  /** Distinct word tokens per doc — the shared first scan of the portable
+    * minhash / simhash family (one (doc_id, tok) row per distinct token). */
+  private def distinctTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
+
   /** Per-doc 8-function MinHash signature over word tokens, portable across
     * engines (md5-based hashes) — the LSH analogue of the TfidfPredicate
     * family (predicates.py:276-325). Output one row per (doc, hash index). */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val tok = docs(s, dir)
-      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
-    val withJ = tok.select(col("doc_id"), col("tok"),
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSigsFromTokens(distinctTokens(s, dir))
+
+  private def minhashSigsFromTokens(tok: DataFrame): DataFrame =
+    tok.select(col("doc_id"), col("tok"),
       explode(sequence(lit(0), lit(7))).as("j"))
-    withJ
       .select(col("doc_id"), col("j"),
         h60(concat_ws("#", col("tok"), col("j").cast("string"))).as("h"))
       .groupBy(col("doc_id"), col("j"))
       .agg(min(col("h")).as("mh"))
-  }
 
   /** Band-key document-frequency cap for the catalog LSH self-join — the
     * canopy stop-word rule (`canopy_index.py:25`) scaled to the oracle-SF
@@ -62,9 +67,11 @@ object PipelineOps {
     * broadcast anti-join BEFORE the self-join (the same stop-word rule as the
     * flagship [[graft.dedup.Blocking]]), so a boilerplate-heavy key can never
     * make the join near-quadratic. */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(s, dir)
-      .withColumn("band", (col("j") / 4).cast("int"))
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    lshPairsFromSigs(minhashSignatures(s, dir))
+
+  private def lshPairsFromSigs(sigs: DataFrame): DataFrame = {
+    val sig = sigs.withColumn("band", (col("j") / 4).cast("int"))
     val bandKey = sig.groupBy(col("doc_id"), col("band"))
       .agg(concat_ws(",", sort_array(collect_list(
         concat_ws(":", col("j").cast("string"), col("mh").cast("string"))))).as("bk"))
@@ -82,10 +89,11 @@ object PipelineOps {
   // ------------------------------------------------------ portable simhash
 
   /** 16-bit portable SimHash over distinct word tokens. */
-  def simhash16(s: SparkSession, dir: String): DataFrame = {
-    val tok = docs(s, dir)
-      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("tok"))
-      .select(col("doc_id"), h60(col("tok")).as("h"))
+  def simhash16(s: SparkSession, dir: String): DataFrame =
+    simhash16FromTokens(distinctTokens(s, dir))
+
+  private def simhash16FromTokens(toks: DataFrame): DataFrame = {
+    val tok = toks.select(col("doc_id"), h60(col("tok")).as("h"))
     val bits = tok.select(col("doc_id"), col("h"),
       explode(sequence(lit(0), lit(15))).as("b"))
       .select(col("doc_id"), col("b"),
@@ -117,8 +125,17 @@ object PipelineOps {
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(1, greatest(size(t) - 2, 0)), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
       )).as("g"))
-    val fp = simhash16(s, dir)
-    val pairs = dedupMinhashLsh(s, dir)
+    // ONE cached token scan feeds both the minhash-LSH candidate stage and
+    // the simhash prefilter (this query used to re-derive each from the raw
+    // parquet — 3 independent corpus scans in a single plan). The cache is
+    // token-sized (doc_id + short string), MEMORY_AND_DISK, and lives for
+    // the session like the flagship's persisted signature table
+    // (`dedup/Pipeline.scala`) — at production scale this is the shared
+    // signature checkpoint, not a cache.
+    val tok = distinctTokens(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp = simhash16FromTokens(tok)
+    val pairs = lshPairsFromSigs(minhashSigsFromTokens(tok))
       .join(fp.select(col("doc_id").as("id_a"), col("simhash").as("h_a")), Seq("id_a"))
       .join(fp.select(col("doc_id").as("id_b"), col("simhash").as("h_b")), Seq("id_b"))
       .filter(graft.expr.functions.hamming64(col("h_a"), col("h_b")) <= NgramPrefilterHamming)
@@ -210,10 +227,13 @@ object PipelineOps {
   /** 4-bit random-hyperplane LSH cell over a quantized integer embedding
     * column named `q`: sign of the exact integer dot product against each
     * precomputed [[hyperplane]] row (zip_with + aggregate — codegen'd, no
-    * per-row hashing). */
+    * per-row hashing). The hyperplane array is sliced to each row's own
+    * width, so a row shorter than `dims` dots against the hyperplane prefix
+    * (the DuckDB oracle's per-row `generate_series(1, len(q))` semantics)
+    * instead of zip_with null-padding the tail into a silently-0 bit. */
   private def lshCell(dims: Int): Column = {
     def bit(i: Int): Column = {
-      val h = array(hyperplane(i, dims).map(lit): _*)
+      val h = slice(array(hyperplane(i, dims).map(lit): _*), lit(1), size(col("q")))
       val dot = aggregate(
         zip_with(col("q"), h, (x, w) => x * w), lit(0L), (acc, v) => acc + v)
       when(dot >= 0, lit(1)).otherwise(lit(0))
@@ -222,13 +242,16 @@ object PipelineOps {
   }
 
   /** Quantized corpus with LSH cell: (vec_id, q: array<bigint>, cell: int).
-    * The embedding width is read from one row up front (driver-side setup,
-    * one-row parquet peek) to size the inlined hyperplane matrix. */
+    * The MAX embedding width sizes the inlined hyperplane matrix (driver-
+    * side setup, one tiny agg); [[lshCell]] slices per row, so ragged widths
+    * stay oracle-exact, and an empty table short-circuits to an empty frame
+    * rather than failing the width peek. */
   private def annIndexed(s: SparkSession, dir: String): DataFrame = {
     val base = emb(s, dir).select(col("vec_id"),
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 100000) as bigint))").as("q"))
-    val dims = base.select(size(col("q"))).head.getInt(0)
-    base.withColumn("cell", lshCell(dims))
+    val dims = base.agg(max(size(col("q")))).head.get(0)
+    if (dims == null) base.withColumn("cell", lit(0)).limit(0)
+    else base.withColumn("cell", lshCell(dims.asInstanceOf[Int]))
   }
 
   /** XOR masks probed per query: all cells within Hamming distance 2 of the
@@ -451,9 +474,10 @@ object PipelineOps {
     val n = d.count()
     val cap = math.max(1000L, (0.05 * n).toLong)
     val toked = d.select(col("doc_id"), Queries.toks(col("text")).as("terms"))
-    val w = Comparators.tfidfWeights(toked, "doc_id", "terms", n)
-    val dfTab = toked.select(col("doc_id"), explode(col("terms")).as("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // weights AND the df table come from ONE tf aggregation (exchange-reused
+    // sub-plan) — df used to be re-derived with a second full corpus
+    // explode+distinct+groupBy per call
+    val (w, dfTab) = Comparators.tfidfWeightsWithDf(toked, "doc_id", "terms", n)
     val okTerms = dfTab.filter(col("df") <= cap).select(col("term"))
     val wIdx = w.join(okTerms, Seq("term")) // stop terms never enter the index
     val qTerms = wIdx.filter(col("doc_id") < 50)

@@ -76,8 +76,12 @@ object GazetteerStream {
         val spark = batch.sparkSession
         val b = batch.persist()
         try {
+          // indexExists (not a raw checkpointExists probe): it runs the
+          // Gazetteer's crash recovery first, so a batch arriving right
+          // after a crashed swap never mistakes the recoverable index for
+          // "empty" and re-indexes canonical records as novel
           val results =
-            if (TableIO.checkpointExists(spark, indexPath))
+            if (Gazetteer.indexExists(spark, indexPath))
               Gazetteer.search(spark, indexPath, b, cfg, threshold, n)
             else // first batch against an empty index: all queries empty-fill
               b.select(col("url").as("query_url")).distinct()
