@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{OracleSql, PipelineOps, Queries}
+import graft.ops.{LearnOps, OracleSql, PipelineOps, Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -111,7 +111,15 @@ object SparkEntry {
     "training_pairs" -> (PipelineOps.trainingPairs _),
     "training_pairs_link" -> (PipelineOps.trainingPairsLink _),
     "mm_binary_meta" -> (PipelineOps.mmBinaryMeta _),
-    "canonical_rep" -> (PipelineOps.canonicalRep _) // rows-only (affine-gap centroid)
+    "canonical_rep" -> (PipelineOps.canonicalRep _), // rows-only (affine-gap centroid)
+    // learning surface (§2.7)
+    "learn_cover" -> (LearnOps.learnCover _),
+    "learn_predicates" -> (LearnOps.learnPredicates _), // rows-only (set-cover search)
+    "learn_lr_score" -> (LearnOps.learnLrScore _), // rows-only (IRLS fit)
+    "learn_disagreement" -> (LearnOps.learnDisagreement _),
+    // kernel-only ops promoted to catalog rows (rows-only)
+    "pred_metaphone_token" -> (Queries.predMetaphoneToken _), // rows-only (no DuckDB metaphone)
+    "score_affine_gap" -> (Queries.scoreAffineGap _) // rows-only (affine-gap DP)
   )
 
   def oracleSql: Map[String, String] = OracleSql.sql

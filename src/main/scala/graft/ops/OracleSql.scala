@@ -756,6 +756,60 @@ object OracleSql {
         FROM (SELECT doc_id,
                 (CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * 97 + 4095) // 4096 AS n_frames
               FROM documents)
-        WHERE n_frames >= 1)"""
+        WHERE n_frames >= 1)""",
+
+    // predicate match-cover counts over consecutive-doc pairs; each branch
+    // mirrors the StringPredicate semantics LearnOps applies through the
+    // kernels: field preprocessed (strip punctuation — none in this corpus —
+    // and collapse whitespace), falsy raw field -> no keys, cover iff key
+    // sets intersect. Zero-cover predicates surface in neither engine.
+    "learn_cover" -> """
+      WITH p AS (
+        SELECT a.doc_id AS pair_id,
+               trim(regexp_replace(a.text, '\s+', ' ', 'g')) AS f1,
+               trim(regexp_replace(b.text, '\s+', ' ', 'g')) AS f2
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.text IS NOT NULL AND a.text <> ''
+          AND b.text IS NOT NULL AND b.text <> ''),
+      c AS (
+        SELECT '(wholeFieldPredicate, text)' AS predicate, count(*) AS covered_pairs
+        FROM p WHERE f1 = f2
+        UNION ALL
+        SELECT '(firstTokenPredicate, text)', count(*) FROM p
+        WHERE regexp_extract(f1, '^([\w'']+)', 1) <> ''
+          AND regexp_extract(f1, '^([\w'']+)', 1) = regexp_extract(f2, '^([\w'']+)', 1)
+        UNION ALL
+        SELECT '(tokenFieldPredicate, text)', count(*) FROM p
+        WHERE list_has_any(regexp_extract_all(f1, '[\w'']+'), regexp_extract_all(f2, '[\w'']+'))
+        UNION ALL
+        SELECT '(sameThreeCharStartPredicate, text)', count(*) FROM p
+        WHERE substr(replace(f1, ' ', ''), 1, 3) = substr(replace(f2, ' ', ''), 1, 3))
+      SELECT predicate, covered_pairs FROM c WHERE covered_pairs > 0""",
+
+    // disagreement top-20: tiered ranking over the fixed-sigmoid classifier
+    // score and the whole-field blocker decision (see learn.Disagreement)
+    "learn_disagreement" -> """
+      WITH d AS (
+        SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b,
+          round(1.0 / (1.0 + exp(-(8.0 *
+            len(list_intersect(list_distinct(regexp_extract_all(a.text, '[a-z0-9'']+')),
+                               list_distinct(regexp_extract_all(b.text, '[a-z0-9'']+')))) /
+            greatest(len(list_distinct(regexp_extract_all(a.text, '[a-z0-9'']+'))) +
+                     len(list_distinct(regexp_extract_all(b.text, '[a-z0-9'']+'))) -
+                     len(list_intersect(list_distinct(regexp_extract_all(a.text, '[a-z0-9'']+')),
+                                        list_distinct(regexp_extract_all(b.text, '[a-z0-9'']+')))), 1)
+            - 4.0))), 6) AS score,
+          CASE WHEN a.text = b.text THEN 1 ELSE 0 END AS covered
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+      t AS (
+        SELECT id_a, id_b,
+          CASE WHEN covered = 0 AND score > 0.5 THEN 1
+               WHEN covered = 1 THEN 2 ELSE 3 END AS tier,
+          CASE WHEN covered = 0 AND score > 0.5 THEN score
+               WHEN covered = 1 THEN -abs(score - 0.5)
+               ELSE abs(score - covered) / 2 END AS rank_key
+        FROM d)
+      SELECT id_a, id_b, tier, CAST(floor(rank_key * 1000000) AS BIGINT) AS key_q
+      FROM t ORDER BY tier ASC, rank_key DESC, id_a ASC, id_b ASC LIMIT 20"""
   )
 }

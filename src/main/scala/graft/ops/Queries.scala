@@ -397,6 +397,46 @@ object Queries {
       .toDF("doc_id", "key")
   }
 
+  /** Per-token Double Metaphone keys alone (`metaphoneToken`,
+    * predicate_functions.py:158-165) — the whole-field variant has its own
+    * entry in [[predDoubleMetaphone]]. Rows-only + kernel goldens. */
+  def predMetaphoneToken(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.texthash.Predicates.metaphoneToken(t).iterator.map(k => (id, k))
+      }
+      .toDF("doc_id", "key")
+  }
+
+  /** Normalized affine-gap string distance (`affinegap`'s
+    * `normalizedAffineGapDistance`, the String-variable comparator,
+    * `variables/string.py:78`) over the first-two-tokens blocked pairs —
+    * the per-pair DP kernel [[graft.texthash.AffineGap]] (golden-tested vs
+    * the reference fixtures) run distributed on 32-char prefixes (bounded
+    * per-pair work; the full-string variant is the canonicalization path,
+    * [[graft.cluster.Canonical]]). Rows-only: a 5-parameter affine-gap DP
+    * has no SQL analogue. Output quantized x1e5 for stable row dumps. */
+  def scoreAffineGap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"),
+      substring(col("text"), 1, 32).as("t"),
+      regexp_extract(col("text"), "^([a-z0-9']+[^a-z0-9']+[a-z0-9']+)", 1).as("key"))
+      .filter(col("key") =!= "")
+    d.as("a").join(d.as("b"),
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.t").as("t_a"), col("b.t").as("t_b"))
+      .distinct()
+      .as[(Long, Long, String, String)]
+      .map { case (a, b, ta, tb) =>
+        (a, b, math.floor(
+          graft.texthash.AffineGap.normalizedAffineGapDistance(ta, tb) * 100000).toLong)
+      }
+      .toDF("id_a", "id_b", "affine_q")
+  }
+
   def scanCsvPreprocess(s: SparkSession, dir: String): DataFrame = {
     // fixed fixture path: the 200 rows are dir-independent, and a stable
     // location lets the DuckDB oracle read_csv the very same file

@@ -1,0 +1,211 @@
+package graft.learn
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Learning-surface specs: golden parity with `tests/test_training.py`
+ * (coverage keys, `_uncovered_by`, `coveredPairs`), recall guarantee of the
+ * learned predicate set, deterministic LR fit closing train→score, and the
+ * disagreement ranking.
+ */
+class LearnSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("learn-spec")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.ui.enabled", false)
+    .getOrCreate()
+
+  /** The 5-pair corpus of `tests/test_training.py:11-22` ("name" field). */
+  private val trainingPairs: Seq[(String, String)] = Seq(
+    ("Bob", "Bob"), // match
+    ("Meredith", "Sue"), // match
+    ("Jimmy", "Jimbo"), // distinct
+    ("Willy", "William"), // distinct
+    ("William", "William") // distinct
+  )
+
+  private def pairsDf = {
+    val s = spark; import s.implicits._
+    trainingPairs.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("pair_id", "f1", "f2")
+  }
+
+  private def recordsDf = {
+    val s = spark; import s.implicits._
+    // unique records of the training pairs, insertion order, like
+    // test_training.py:25-29
+    val uniq = trainingPairs.flatMap(p => Seq(p._1, p._2)).distinct
+    uniq.zipWithIndex.map { case (r, i) => (i.toLong, r) }.toDF("rid", "f")
+  }
+
+  private val preds = PredicateZoo.stringPredicates("name")
+
+  test("dedupe coverage keys — golden superset (test_training.py:41-59)") {
+    val mc = Cover.collectMatchCover(Cover.matchCover(pairsDf, preds), preds)
+    val keys = mc.map(_._1).toSet
+    // the SimplePredicate entries of the reference's expected set (the
+    // Tfidf canopy entries are index predicates — not in the learnable zoo
+    // here, see PredicateZoo docs)
+    val expected = Set(
+      "(tokenFieldPredicate, name)",
+      "(commonSixGram, name)",
+      "(sortedAcronym, name)",
+      "(sameThreeCharStartPredicate, name)",
+      "(sameFiveCharStartPredicate, name)",
+      "(wholeFieldPredicate, name)",
+      "(commonFourGram, name)",
+      "(firstTokenPredicate, name)",
+      "(sameSevenCharStartPredicate, name)")
+    assert(expected.subsetOf(keys), s"missing: ${expected -- keys}")
+  }
+
+  test("coverage values — wholeField covers exactly the identical pair") {
+    val mc = Cover.collectMatchCover(Cover.matchCover(pairsDf, preds), preds).toMap
+    assert(mc("(wholeFieldPredicate, name)") === Set(0, 4))
+    // (Meredith, Sue) shares no structure: only sameXCharStart-style
+    // predicates can't cover it either
+    assert(!mc.values.exists(_ == Set(1)))
+  }
+
+  test("_uncovered_by port (test_training.py:61-70)") {
+    import BranchAndBound.Candidate
+    val before = Vector(
+      Candidate("1", Set(1, 2, 3), 0),
+      Candidate("2", Set(1, 2), 0),
+      Candidate("3", Set(3), 0))
+    val sub = BranchAndBound.search(before, 0, 1) // smoke: search compiles over it
+    assert(sub.isEmpty) // target 0 is covered by the empty partial
+    // direct semantic check via learn-time filtering is covered in the
+    // search tests below; the uncovered-by arithmetic:
+    def uncoveredBy(cands: Vector[Candidate], covered: Set[Int]) =
+      cands.flatMap { p =>
+        val still = p.cover diff covered
+        if (still.nonEmpty) Some(p.copy(cover = still)) else None
+      }
+    assert(uncoveredBy(before, Set.empty) === before)
+    assert(uncoveredBy(before, Set(3)) ===
+      Vector(Candidate("1", Set(1, 2), 0), Candidate("2", Set(1, 2), 0)))
+  }
+
+  test("covered pairs — constant predicate covers all index pairs (test_training.py:72-78)") {
+    val s = spark; import s.implicits._
+    val const = NamedPredicate("(p1, f)", _ => Set("1"))
+    val two = Seq((0L, "a"), (1L, "b")).toDF("rid", "f")
+    // comparisonCoverCounts drops a predicate whose largest block covers ALL
+    // records (training.py:171-173) — so with 3 records and a 2-record
+    // block the pair count surfaces
+    val three = Seq((0L, "a"), (1L, "b"), (2L, "")).toDF("rid", "f")
+    val counts = Cover.comparisonCoverCounts(three, Seq(const), 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("(p1, f)") === 1L) // ("" is falsy -> no keys) => pair (0,1)
+    // and the all-records case is skipped entirely
+    val skipped = Cover.comparisonCoverCounts(two, Seq(const), 2L).collect()
+    assert(skipped.isEmpty)
+  }
+
+  test("branch-and-bound finds the cheapest covering set") {
+    import BranchAndBound.Candidate
+    // p_all covers everything but is expensive; p1+p2 cover everything
+    // cheaply
+    val cands = Vector(
+      Candidate("p_all", Set(0, 1, 2, 3), 100),
+      Candidate("p1", Set(0, 1), 10),
+      Candidate("p2", Set(2, 3), 10),
+      Candidate("p3", Set(0), 1))
+    val res = BranchAndBound.search(cands, target = 4)
+    assert(res.map(_.name).toSet === Set("p1", "p2"))
+  }
+
+  test("learn covers >= recall * matches and is deterministic") {
+    val learned = BlockLearner.learn(pairsDf, recordsDf, preds, recall = 1.0)
+    assert(learned.covered.size >= learned.targetCover)
+    // (Meredith, Sue) is uncoverable by any predicate -> target clamps from
+    // 5 to the 4 coverable pairs (training.py:57-63)
+    assert(learned.targetCover === 4)
+    assert(learned.predicates.nonEmpty)
+    val again = BlockLearner.learn(pairsDf, recordsDf, preds, recall = 1.0)
+    assert(again === learned)
+  }
+
+  test("learn picks a predicate that actually blocks the covered match") {
+    val learned = BlockLearner.learn(pairsDf, recordsDf, preds, recall = 1.0)
+    // every covered match index must co-block under at least one learned
+    // predicate, evaluated with the raw kernels
+    val byName = preds.map(p => p.name -> p).toMap
+    learned.covered.foreach { i =>
+      val (a, b) = trainingPairs(i)
+      assert(learned.predicates.exists { n =>
+        val p = byName(n)
+        val kb = p(b)
+        kb.nonEmpty && p(a).exists(kb.contains)
+      })
+    }
+  }
+
+  test("LR fit separates a separable fixture and is bit-deterministic") {
+    // jaccard-like feature: matches ~0.9, distinct ~0.1
+    val x = Array(
+      Array(0.95), Array(0.9), Array(0.85), Array(0.8),
+      Array(0.2), Array(0.15), Array(0.1), Array(0.05))
+    val y = Array(1, 1, 1, 1, 0, 0, 0, 0)
+    val m = LogisticRegression.fit(x, y)
+    assert(m.weights(0) > 0)
+    // default C=1.0 regularizes hard on a [0,1]-scale feature — separation,
+    // not saturation, is the contract (sklearn behaves the same)
+    assert(m.predict(Array(0.9)) > 0.6)
+    assert(m.predict(Array(0.1)) < 0.4)
+    // weaker regularization sharpens the boundary monotonically
+    val sharp = LogisticRegression.fit(x, y, c = 100.0)
+    assert(sharp.predict(Array(0.9)) > 0.9)
+    assert(sharp.predict(Array(0.1)) < 0.1)
+    val m2 = LogisticRegression.fit(x, y)
+    assert(java.util.Arrays.equals(m.weights, m2.weights))
+    assert(m.intercept === m2.intercept)
+  }
+
+  test("LR regularization keeps perfectly-separated weights finite") {
+    val x = Array(Array(1.0), Array(0.0))
+    val y = Array(1, 0)
+    val m = LogisticRegression.fit(x, y)
+    assert(m.weights(0).isFinite && m.intercept.isFinite)
+    assert(m.weights(0) < 50.0) // unregularized would diverge
+  }
+
+  test("train -> score -> cluster loop: fitted weights drive distributed scoring") {
+    val s = spark; import s.implicits._
+    val labeled = Seq(
+      (0.9, 0.8, 1), (0.85, 0.9, 1), (0.95, 0.7, 1),
+      (0.1, 0.2, 0), (0.2, 0.1, 0), (0.15, 0.15, 0))
+      .toDF("f_jac", "f_cos", "label")
+    val (x, y) = LogisticRegression.collectTraining(labeled, Seq("f_jac", "f_cos"), "label")
+    val m = LogisticRegression.fit(x, y)
+    val cands = Seq((1L, 2L, 0.92, 0.85), (3L, 4L, 0.12, 0.08))
+      .toDF("id_a", "id_b", "f_jac", "f_cos")
+    val scored = cands.withColumn("score",
+      LogisticRegression.scoreColumn(m,
+        Seq(org.apache.spark.sql.functions.col("f_jac"),
+          org.apache.spark.sql.functions.col("f_cos"))))
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
+    assert(scored(1L) > 0.5 && scored(3L) < 0.5)
+  }
+
+  test("disagreement ranking: tiers and determinism") {
+    val s = spark; import s.implicits._
+    val cands = Seq(
+      (1L, 2L, 0.9, 0), // tier 1: classifier-match, uncovered
+      (1L, 3L, 0.7, 0), // tier 1, lower confidence
+      (2L, 3L, 0.55, 1), // tier 2: covered, near 0.5 (most uncertain)
+      (2L, 4L, 0.95, 1), // tier 2, confident
+      (3L, 4L, 0.2, 0) // tier 3
+    ).toDF("id_a", "id_b", "score", "covered")
+    val top = Disagreement.topK(cands, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top === Array((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    val again = Disagreement.topK(cands, 5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again === top)
+  }
+}
