@@ -27,8 +27,15 @@ object ClusterStage {
   final case class ClusterRow(nid: Long, cluster_nid: Long, confidence: Double)
 
   /** @param labeled (a, b, score, comp) scored edges (compact long ids) with
-    *               component labels */
-  def clusterComponents(labeled: DataFrame, threshold: Double): Dataset[ClusterRow] = {
+    *               component labels — MUST have passed
+    *               [[ConnectedComponents.withRefilter]] at `maxComponents`:
+    *               the centroid-linkage kernel allocates n(n-1)/2 doubles
+    *               per component in one task (see
+    *               [[DedupConfig.maxComponents]]), so an over-cap component
+    *               here fails loudly instead of OOMing the executor
+    * @param maxComponents the refilter cap to enforce; <= 0 disables */
+  def clusterComponents(labeled: DataFrame, threshold: Double,
+                        maxComponents: Int = 30000): Dataset[ClusterRow] = {
     val spark = labeled.sparkSession
     import spark.implicits._
     labeled
@@ -37,6 +44,14 @@ object ClusterStage {
       .groupByKey(_.comp)
       .flatMapGroups { (_, it) =>
         val edges = it.map(e => Edge(e.a, e.b, e.score.toDouble)).toSeq
+        if (maxComponents > 0) {
+          val nNodes = edges.iterator.flatMap(e => Iterator(e.a, e.b)).toSet.size
+          if (nNodes > maxComponents) throw new IllegalStateException(
+            s"component of $nNodes nodes exceeds maxComponents=$maxComponents — " +
+              "the condensed distance matrix would need " +
+              s"~${nNodes.toLong * (nNodes - 1) / 2 * 8 / (1 << 20)} MB in one task; " +
+              "run ConnectedComponents.withRefilter first (Pipeline does)")
+        }
         LocalClustering.clusterComponent(edges, threshold).iterator.flatMap { c =>
           val clusterId = c.members.min
           c.members.zip(c.confidences).map { case (m, conf) => ClusterRow(m, clusterId, conf) }

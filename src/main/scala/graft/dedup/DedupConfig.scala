@@ -42,7 +42,10 @@ object DedupConfig {
       suffixWidth = m.get("suffixWidth").asInt,
       suffixEvery = m.get("suffixEvery").asInt,
       useExact = m.get("useExact").asBoolean,
-      exactIds = if (m.has("exactIds")) m.get("exactIds").asBoolean else false)
+      exactIds = if (m.has("exactIds")) m.get("exactIds").asBoolean else false,
+      scoreLcs = if (m.has("scoreLcs")) m.get("scoreLcs").asBoolean else false,
+      lcsWindow = if (m.has("lcsWindow")) m.get("lcsWindow").asInt else 6,
+      lcsPrefix = if (m.has("lcsPrefix")) m.get("lcsPrefix").asInt else 256)
   }
 }
 
@@ -78,7 +81,19 @@ final case class DedupConfig(
       * a tight ceiling costs ~no recall (gated at 0.99 in tests) while
       * bounding any bucket's pair fan-out at absCap²/2 (=1250 at the default 50). */
     hotKeyAbsCap: Long = 50L,
-    /** Component-size cap before score refiltering (`clustering.py:214`). */
+    /** Component-size cap before score refiltering (`clustering.py:214`,
+      * reference default 30000).
+      *
+      * MEMORY BOUND — this cap IS the per-task memory contract of the
+      * clustering stage: one component of n nodes costs a condensed
+      * distance matrix of n(n-1)/2 doubles inside a single `flatMapGroups`
+      * task (~3.6 GB at the 30k reference default, ~400 MB at 10k). The
+      * reference pays it once in one process; an executor running several
+      * such tasks CONCURRENTLY multiplies it — size executor memory as
+      * cap²·4 bytes × spark.executor.cores, or lower the cap (the
+      * web-scale profile should run 10000 unless giant clusters are
+      * expected). [[ClusterStage.clusterComponents]] fails loudly (not
+      * OOM) if an over-cap component ever reaches it. */
     maxComponents: Int = 30000,
     /** SimHash secondary fingerprint. `useSimHash` gates the flagship
       * blocking pass, whose key scheme is FIXED: Manku 6-block/choose-3
@@ -104,7 +119,20 @@ final case class DedupConfig(
       * assert turns a silent merge into a loud failure). `true`: dense ids
       * from a range-partitioned global rank of url — collision-free at any
       * scale (use at 10^11+ docs). */
-    exactIds: Boolean = false) {
+    exactIds: Boolean = false,
+    /** Suffix-pass LCS score signal (north rule: "longest-common-substring
+      * length from the suffix pass"): when true, prefilter survivors also
+      * get a normalized longest-common-substring score over their
+      * `lcsPrefix`-bounded text prefixes (stride-1 `lcsWindow`-char windows,
+      * diagonal-run identity — see [[Scoring.lcsScores]]) and the pair score
+      * becomes greatest(jaccard, lcs / min prefix length). Rescues long
+      * verbatim containments whose token Jaccard is low. */
+    scoreLcs: Boolean = false,
+    lcsWindow: Int = 6,
+    /** Per-doc window-extraction bound: LCS work per doc is O(lcsPrefix)
+      * regardless of document length (the same O(1)-per-doc bound as the
+      * blocking stage's sampled suffix keys). */
+    lcsPrefix: Int = 256) {
   require(numHashes % bands == 0, "numHashes must be divisible by bands")
   require(64 % simhashBands == 0, "simhashBands must divide 64")
   def rows: Int = numHashes / bands
@@ -114,5 +142,6 @@ final case class DedupConfig(
       s""""seed":$seed,"threshold":$threshold,"minScore":$minScore,"scoreMaxHamming":$scoreMaxHamming,"hotKeyMin":$hotKeyMin,"hotKeyFrac":$hotKeyFrac,"hotKeyAbsCap":$hotKeyAbsCap,""" +
       s""""maxComponents":$maxComponents,"useSimHash":$useSimHash,"simhashBands":$simhashBands,""" +
       s""""simhashMaxHamming":$simhashMaxHamming,"useSuffix":$useSuffix,"suffixWidth":$suffixWidth,""" +
-      s""""suffixEvery":$suffixEvery,"useExact":$useExact,"exactIds":$exactIds}"""
+      s""""suffixEvery":$suffixEvery,"useExact":$useExact,"exactIds":$exactIds,""" +
+      s""""scoreLcs":$scoreLcs,"lcsWindow":$lcsWindow,"lcsPrefix":$lcsPrefix}"""
 }

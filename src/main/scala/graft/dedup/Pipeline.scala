@@ -160,7 +160,8 @@ object Pipeline {
     // 4. scored pairs
     val scored = stage("scored") {
       Scoring.scorePairs(pairs, sigs, idCol = "nid", minScore = cfg.minScore,
-        maxHamming = cfg.scoreMaxHamming, dedupePairs = true)
+        maxHamming = cfg.scoreMaxHamming, dedupePairs = true,
+        scoreLcs = cfg.scoreLcs, lcsWindow = cfg.lcsWindow, lcsPrefix = cfg.lcsPrefix)
     }
     record("scored", scored)
 
@@ -173,7 +174,7 @@ object Pipeline {
     // 6. hierarchical clusters + singletons (compact ids), then map back to
     // urls with the lexicographically-smallest-member cluster id
     val clusters = stage("clusters") {
-      val clustered = ClusterStage.clusterComponents(labeled, cfg.threshold)
+      val clustered = ClusterStage.clusterComponents(labeled, cfg.threshold, cfg.maxComponents)
       val withSingles = ClusterStage.addSingletons(normalized.select($"nid"), clustered)
       ClusterStage.toUrls(withSingles, normalized.select($"nid", $"url"))
     }

@@ -37,9 +37,59 @@ object Scoring {
    * @param maxHamming SimHash prefilter radius; 64 disables the prefilter
    * @return (a, b, score: float) with score > max(0, minScore) rows only
    */
+  /**
+   * Normalized suffix-pass LCS scores for candidate pairs — the
+   * "longest-common-substring length from the suffix pass" score signal
+   * (north rule). Same diagonal-run identity as the catalog
+   * [[graft.ops.PipelineOps.scoreLcsSuffix]]: a common substring of length
+   * L >= w contains L - w + 1 aligned w-windows, so LCS = w - 1 + longest
+   * run of shared windows along one i - j diagonal (gaps-and-islands,
+   * PARTITIONED windows only). Windows are stride-1 over the
+   * `prefix`-bounded text (O(prefix) rows/doc) and ship as 8-byte xxhash64
+   * values, never substrings (a 2^-64 collision can only overestimate one
+   * pair's run by a window). Normalization: lcs / min(prefix length) — 1.0
+   * = one side's whole (bounded) text is contained in the other.
+   *
+   * @param pairs (a, b) SURVIVOR pairs (post-prefilter — never the raw
+   *              candidate stream)
+   * @param texts (idCol, text)
+   * @return (a, b, lcs_norm: double) for pairs sharing >= 1 window
+   */
+  def lcsScores(pairs: DataFrame, texts: DataFrame, idCol: String,
+                w: Int, prefix: Int): DataFrame = {
+    val pre = texts
+      .select(col(idCol).as("sid"), substring(col("text"), 1, prefix).as("t"))
+      .filter(length(col("t")) >= w)
+    val wins = pre.select(col("sid"), explode(expr(
+      s"transform(sequence(1, length(t) - ${w - 1}), i -> named_struct('i', i, 'wh', xxhash64(substring(t, i, $w))))")).as("s"))
+      .select(col("sid"), col("s.i").as("i"), col("s.wh").as("wh"))
+    val lens = pre.select(col("sid"), length(col("t")).cast("long").as("lenp"))
+    val pa = pairs
+      .join(wins.select(col("sid").as("a"), col("i"), col("wh")).hint("shuffle_hash"), Seq("a"))
+    val pr = pa
+      .join(wins.select(col("sid").as("b"), col("i").as("j"), col("wh")).hint("shuffle_hash"),
+        Seq("b", "wh"))
+      .select(col("a"), col("b"), col("i"), col("j"))
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"), col("b"), col("diag")).orderBy(col("i"))
+    val lcs = pr.withColumn("diag", col("i") - col("j"))
+      .withColumn("grp", col("i") - row_number().over(byDiag))
+      .groupBy(col("a"), col("b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("a"), col("b"))
+      .agg((max(col("run")) + lit(w - 1)).as("lcs_len"))
+    lcs
+      .join(lens.select(col("sid").as("a"), col("lenp").as("len_a")), Seq("a"))
+      .join(lens.select(col("sid").as("b"), col("lenp").as("len_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("lcs_len").cast("double") / least(col("len_a"), col("len_b"))).as("lcs_norm"))
+  }
+
   def scorePairs(pairs: DataFrame, sigs: DataFrame, idCol: String = "url",
                  minScore: Double = 0.0, maxHamming: Int = 64,
-                 dedupePairs: Boolean = false): DataFrame = {
+                 dedupePairs: Boolean = false,
+                 scoreLcs: Boolean = false, lcsWindow: Int = 6,
+                 lcsPrefix: Int = 256): DataFrame = {
     val prefiltered =
       if (maxHamming >= 64 || !sigs.columns.contains("simhash")) pairs
       else {
@@ -62,11 +112,28 @@ object Scoring {
     // hash-building it avoids sort-merge's full sort of the array columns
     // (2x the memory traffic) at any scale where it exceeds broadcast size
     val sh = sigs.select(col(idCol).as("sid"), col("shingles")).hint("shuffle_hash")
-    surviving
+    val jac = surviving
       .join(sh.withColumnRenamed("sid", "a").withColumnRenamed("shingles", "sh_a"), Seq("a"))
       .join(sh.withColumnRenamed("sid", "b").withColumnRenamed("shingles", "sh_b"), Seq("b"))
       .select(col("a"), col("b"),
-        gf.jaccard_sorted(col("sh_a"), col("sh_b")).cast("float").as("score"))
-      .filter(col("score") > math.max(0.0, minScore)) // zero-score drop, core.py:81-84
+        gf.jaccard_sorted(col("sh_a"), col("sh_b")).as("jac"))
+    val blended =
+      if (!scoreLcs) jac.select(col("a"), col("b"), col("jac").cast("float").as("score"))
+      else {
+        // LCS runs on the SAME survivor set (a superset of the suffix-pass
+        // co-blocked pairs — provenance-free but bounded); a pair's score is
+        // the stronger of its Jaccard and its normalized longest common
+        // substring, so long verbatim containments with low token overlap
+        // survive the minScore floor
+        require(sigs.columns.contains("text"),
+          "scoreLcs needs the signature table to carry the text column")
+        val lcs = lcsScores(surviving, sigs.select(col(idCol), col("text")), idCol,
+          lcsWindow, lcsPrefix)
+        jac.join(lcs, Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            greatest(col("jac"), coalesce(col("lcs_norm"), lit(0.0)))
+              .cast("float").as("score"))
+      }
+    blended.filter(col("score") > math.max(0.0, minScore)) // zero-score drop, core.py:81-84
   }
 }

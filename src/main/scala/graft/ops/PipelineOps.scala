@@ -241,18 +241,25 @@ object PipelineOps {
     (bit(0) * 8 + bit(1) * 4 + bit(2) * 2 + bit(3)).as("cell")
   }
 
-  /** Quantized corpus with LSH cell: (vec_id, q: array<bigint>, cell: int).
-    * The MAX embedding width sizes the inlined hyperplane matrix (driver-
-    * side setup, one tiny agg); [[lshCell]] slices per row, so ragged widths
-    * stay oracle-exact, and an empty table short-circuits to an empty frame
-    * rather than failing the width peek. */
-  private def annIndexed(s: SparkSession, dir: String): DataFrame = {
-    val base = emb(s, dir).select(col("vec_id"),
+  /** Quantized LSH-cell index over an arbitrary embeddings frame
+    * (vec_id, embedding: array<numeric>) → (vec_id, q: array<bigint>,
+    * cell: int) — shared by the catalog ANN/dedup ops and the multimodal
+    * extract→index→pair flow. The MAX embedding width sizes the inlined
+    * hyperplane matrix (driver-side setup, one tiny agg — at production
+    * scale the width comes from table metadata/config, not a scan);
+    * [[lshCell]] slices per row, so ragged widths stay oracle-exact, and an
+    * empty table short-circuits to an empty frame rather than failing the
+    * width peek. */
+  def indexEmbeddings(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id"),
       expr("transform(embedding, x -> cast(floor(cast(x as double) * 100000) as bigint))").as("q"))
     val dims = base.agg(max(size(col("q")))).head.get(0)
     if (dims == null) base.withColumn("cell", lit(0)).limit(0)
     else base.withColumn("cell", lshCell(dims.asInstanceOf[Int]))
   }
+
+  private def annIndexed(s: SparkSession, dir: String): DataFrame =
+    indexEmbeddings(emb(s, dir))
 
   /** XOR masks probed per query: all cells within Hamming distance 2 of the
     * query's own 4-bit cell (11 of 16). The probe radius is the recall/cost
@@ -327,8 +334,15 @@ object PipelineOps {
     * production scale more planes shrink the cells, same shape). Integer
     * dot/norm aggregates + a single double division keep the DuckDB oracle
     * bit-exact, like [[scoreCosineTfidf]]. */
-  def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
-    val e = annIndexed(s, dir)
+  def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
+    embedCosinePairs(emb(s, dir), minCosQ = 15000L)
+
+  /** Embedding-cosine near-dup pairs over ANY (vec_id, embedding) frame —
+    * the reusable core of [[dedupEmbedCosine]], and the tail of the
+    * multimodal flow ([[Multimodal.extract]] features → [[indexEmbeddings]]
+    * cells → same-cell pairs). */
+  def embedCosinePairs(embeddings: DataFrame, minCosQ: Long): DataFrame = {
+    val e = indexEmbeddings(embeddings)
     val a = e.select(col("cell"), col("vec_id").as("id_a"), col("q").as("qa"))
     val b = e.select(col("cell"), col("vec_id").as("id_b"), col("q").as("qb"))
     a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
@@ -338,7 +352,7 @@ object PipelineOps {
             (sqrt(expr("aggregate(qa, 0L, (acc, x) -> acc + x * x)").cast("double")) *
               sqrt(expr("aggregate(qb, 0L, (acc, x) -> acc + x * x)").cast("double")))))
           .cast("long").as("cos_q"))
-      .filter(col("cos_q") >= 15000)
+      .filter(col("cos_q") >= minCosQ)
   }
 
   /** Exact brute-force L2 top-k over a supplied corpus — the small-N

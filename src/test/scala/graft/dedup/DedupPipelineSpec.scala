@@ -112,6 +112,73 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(canon(exact) == canon(clusters.select($"url", $"cluster_id").toDF()))
   }
 
+  test("scoreLcs rescues a long verbatim containment that token Jaccard drops") {
+    // shared 120-char prefix, unrelated 180-char tails: char-shingle Jaccard
+    // ~0.2 (< minScore 0.3 -> dropped by the default config), but
+    // LCS/prefix = 120/256 ~ 0.47 survives. The simhash prefilter is opened
+    // (maxHamming=64): an LCS-rescue config must widen it, since a 25%-
+    // containment pair sits far outside the default hamming-16 radius.
+    val shared = (1 to 20).map(i => s"common$i").mkString(" ").take(120)
+    def tail(seed: String) = (1 to 30).map(i => s"$seed$i").mkString(" ").take(180)
+    val fixture = Seq(
+      ("u1", shared + " " + tail("alpha")),
+      ("u2", shared + " " + tail("omega"))).toDF("url", "text")
+    val sigs = Blocking.signatures(
+      fixture.select($"url", graft.expr.functions.normalize_text($"text").as("text")), cfg)
+    val pairs = Seq(("u1", "u2")).toDF("a", "b")
+    val without = Scoring.scorePairs(pairs, sigs, minScore = cfg.minScore, maxHamming = 64)
+      .count()
+    assert(without == 0L, "fixture must be a sub-threshold Jaccard pair")
+    val rescued = Scoring.scorePairs(pairs, sigs, minScore = cfg.minScore, maxHamming = 64,
+      scoreLcs = true)
+      .select($"score").as[Float].collect()
+    assert(rescued.length == 1, "LCS blend must rescue the containment pair")
+    assert(rescued.head > 0.4f && rescued.head < 0.6f,
+      s"expected lcs/prefix ~0.47, got ${rescued.head}")
+  }
+
+  test("pipeline under scoreLcs config: recall and singleton completeness hold") {
+    val lcsClusters = Pipeline.run(spark, pages, cfg.copy(scoreLcs = true))
+    val n = pages.count()
+    assert(lcsClusters.count() == n)
+    val truth = WebText.truePairs(pages.toDF())
+    val predicted = lcsClusters.select($"url".as("a"), $"cluster_id").as("x")
+      .join(lcsClusters.select($"url".as("b"), $"cluster_id").as("y"), "cluster_id")
+      .filter($"a" < $"b").select($"a", $"b")
+    val tp = predicted.join(truth, Seq("a", "b"), "left_semi").count().toDouble
+    val recall = tp / truth.count().toDouble
+    val precision = if (predicted.count() == 0) 1.0 else tp / predicted.count().toDouble
+    info(f"lcs-config recall=$recall%.4f precision=$precision%.4f")
+    assert(recall >= 0.99, f"recall $recall%.4f below gate under scoreLcs")
+    assert(precision >= 0.95, f"precision $precision%.4f below gate under scoreLcs")
+    // settings codec covers the new fields
+    assert(DedupConfig.fromJson(cfg.copy(scoreLcs = true, lcsPrefix = 128).toJson) ==
+      cfg.copy(scoreLcs = true, lcsPrefix = 128))
+  }
+
+  test("over-cap component fails loudly; refilter bounds components below the cap") {
+    // a 40-node component with cap 10 would allocate an n^2/2 matrix in one
+    // task — the guard must fail with the bound, not OOM
+    val big = (0L until 39L).map(i => (i, i + 1, 0.9f, 0L))
+      .toDF("a", "b", "score", "comp")
+    val e = intercept[Exception] {
+      ClusterStage.clusterComponents(big, 0.5, maxComponents = 10).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("maxComponents")), chain(e).mkString(" | "))
+    // the refilter at the same cap emits only components the guard accepts
+    val scored = (0L until 39L).map(i => (i, i + 1, 0.2f + 0.02f * (i % 20).toFloat))
+      .toDF("a", "b", "score")
+    val labeled = ConnectedComponents.withRefilter(scored, 10)
+    val maxSz = labeled.select($"comp", $"a".as("n"))
+      .unionAll(labeled.select($"comp", $"b".as("n")))
+      .groupBy($"comp").agg(countDistinct($"n").as("sz"))
+      .agg(max($"sz")).as[Long].head()
+    assert(maxSz <= 10, s"refiltered component of $maxSz nodes exceeds the cap")
+    ClusterStage.clusterComponents(labeled, 0.5, maxComponents = 10).collect() // must not throw
+  }
+
   test("confidences match the reference formula per cluster") {
     // spot-check: all confidences in (0, 1]; singletons exactly 1.0
     val bad = clusters.filter($"confidence" <= 0.0 || $"confidence" > 1.0).count()

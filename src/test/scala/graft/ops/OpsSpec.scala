@@ -265,6 +265,35 @@ class OpsSpec extends AnyFunSuite {
     assert(jm.forall(m => m.n_bytes == 0 && m.features.isEmpty))
   }
 
+  test("multimodal e2e: extract features -> LSH cell index -> embed-cosine pairs") {
+    // synthetic binary payloads: u1/u2 byte-identical (decode stub is a pure
+    // function of the bytes -> identical feature vectors), u3.. distinct
+    val payload = Array.tabulate[Byte](256)(i => (i * 7 % 127).toByte)
+    val pages = (Seq(("u1", payload), ("u2", payload.clone())) ++
+      (3 to 12).map(i => (s"u$i", Array.tabulate[Byte](200 + i)(j => ((j * i + 13) % 125).toByte))))
+      .toDF("url", "html")
+    val feats = Multimodal.extract(pages).toDF()
+      .select(xxhash64($"url").as("vec_id"), $"features".as("embedding"), $"url")
+    val idOf = feats.select($"url", $"vec_id").as[(String, Long)].collect().toMap
+    // identical payloads must land in the same cell and verify at cosine 1.0
+    val pairs = PipelineOps.embedCosinePairs(feats.select($"vec_id", $"embedding"),
+      minCosQ = 99000L)
+      .as[(Long, Long, Long)].collect()
+    val dupPair = (math.min(idOf("u1"), idOf("u2")), math.max(idOf("u1"), idOf("u2")))
+    val hit = pairs.find(p => (p._1, p._2) == dupPair)
+    assert(hit.isDefined, s"identical-payload pair not surfaced: ${pairs.toSeq}")
+    assert(hit.get._3 == 100000L, s"identical features must verify at cos_q=100000, got ${hit.get._3}")
+    // the index itself: one cell per row, quantized vectors intact
+    val idx = PipelineOps.indexEmbeddings(feats.select($"vec_id", $"embedding"))
+    assert(idx.count() == 12)
+    val cells = idx.select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(cells(idOf("u1")) == cells(idOf("u2")))
+    // empty-frame safety (the ANN advisory fix)
+    val empty = PipelineOps.indexEmbeddings(
+      feats.select($"vec_id", $"embedding").limit(0))
+    assert(empty.count() == 0)
+  }
+
   test("canonicalize clusters distributed (canonical.py:56-79)") {
     val clustered = Seq(
       ("u1", "c1", "mary crane"),
