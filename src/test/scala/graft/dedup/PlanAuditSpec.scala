@@ -164,4 +164,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"no partial aggregation:\n$plan")
   }
+
+  test("tfidf weights and df table share one tf aggregation sub-plan (r3 fix)") {
+    // the df table returned by tfidfWeightsWithDf must BE a subtree of the
+    // weights plan — that is what lets exchange reuse run the corpus scan +
+    // tf shuffle once; a caller-side re-aggregation (the r3 defect) would
+    // not satisfy sameResult
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", split($"text", " ").as("terms"))
+    val (w, dfTab) = graft.ops.Comparators.tfidfWeightsWithDf(docs, "doc_id", "terms", 500L)
+    val dfPlan = dfTab.queryExecution.analyzed
+    assert(w.queryExecution.analyzed.exists(_.sameResult(dfPlan)),
+      "df table is not a shared subtree of the weights plan")
+    // and at runtime the shared exchange is actually reused
+    val q = graft.ops.PipelineOps.tfidfSearch(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"no exchange reuse in the executed tfidf_search plan:\n${plan.take(4000)}")
+  }
+
+  test("dedupNgramJaccard shares one cached token scan across its sub-ops (r3 fix)") {
+    val q = graft.ops.PipelineOps.dedupNgramJaccard(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // the minhash-LSH and simhash branches both read the cached token frame
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"token scan not shared via cache:\n${plan.take(4000)}")
+  }
 }
