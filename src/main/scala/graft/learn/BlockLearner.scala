@@ -71,6 +71,46 @@ object BlockLearner {
     val candidates = mc.map { case (n, cover) =>
       BranchAndBound.Candidate(n, cover, comparisonCounts(n))
     }
+    searchAndWrap(mc, candidates, target, maxCalls)
+  }
+
+  /**
+   * Record-link variant (`RecordLinkBlockLearner`, `training.py:188-266` +
+   * the shared `learn`): match pairs carry one field per SIDE; comparison
+   * coverage is the two-sided cross-product cover
+   * ([[Cover.comparisonCoverCountsLink]]).
+   */
+  def learnLink(matches: DataFrame, left: DataFrame, right: DataFrame,
+                preds: Seq[NamedPredicate], recall: Double,
+                maxCalls: Int = 2500): Learned = {
+    val nMatches = matches.count()
+    require(nMatches > 0,
+      "You must supply at least one pair of matching records to learn blocking rules.")
+    val sl = Cover.sampleRecords(left, SampledRecordsCap)
+    val sr = Cover.sampleRecords(right, SampledRecordsCap)
+    val nL = math.min(left.count(), SampledRecordsCap.toLong)
+    val nR = math.min(right.count(), SampledRecordsCap.toLong)
+
+    val matchCover = Cover.collectMatchCover(Cover.matchCover(matches, preds), preds)
+    val comparisonCounts: Map[String, Long] =
+      Cover.comparisonCoverCountsLink(sl, sr, preds, nL, nR).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mc = matchCover.filter { case (n, _) => comparisonCounts.contains(n) }
+
+    val coverable: Set[Int] =
+      if (mc.isEmpty) Set.empty else mc.iterator.map(_._2).reduce(_ union _)
+    var target = (recall * nMatches).toInt
+    if (coverable.size < target) target = coverable.size
+
+    val candidates = mc.map { case (n, cover) =>
+      BranchAndBound.Candidate(n, cover, comparisonCounts(n))
+    }
+    searchAndWrap(mc, candidates, target, maxCalls)
+  }
+
+  private def searchAndWrap(mc: Vector[(String, Set[Int])],
+                            candidates: Vector[BranchAndBound.Candidate],
+                            target: Int, maxCalls: Int): Learned = {
     val finalPreds = BranchAndBound.search(candidates, target, maxCalls)
     // union the ORIGINAL covers (candidates descend the tree with reduced
     // covers — branch_and_bound.py:47-52 `_covered` also reads the original)

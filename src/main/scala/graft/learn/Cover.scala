@@ -100,6 +100,44 @@ object Cover {
       .agg(count(lit(1)).as("cover_count"))
   }
 
+  /**
+   * Two-sided (record-link) comparison-cover counts —
+   * `RecordLinkBlockLearner.coveredPairs` (`training.py:231-266`): blocks
+   * are keyed from BOTH sides' key emissions, a covered pair is any
+   * (left record, right record) sharing a block, and a predicate is
+   * dropped when ANY of its blocks covers all records of both sides
+   * (`training.py:252-258` — the constant-key degenerate). Reference
+   * nuance preserved: only blocks present on the RIGHT (indexed) side
+   * count — the left pass intersects `blocks & current_blocks`
+   * (`training.py:243-246`) — which the inner join realizes.
+   *
+   * @param left  (rid, f) sampled records of side 1
+   * @param right (rid, f) sampled records of side 2
+   * @return (predicate, cover_count) distinct cross-side pairs per predicate
+   */
+  def comparisonCoverCountsLink(left: DataFrame, right: DataFrame,
+                                preds: Seq[NamedPredicate],
+                                nLeft: Long, nRight: Long): DataFrame = {
+    val bl = blockRows(left, preds)
+    val br = blockRows(right, preds)
+    val sizes = bl.groupBy(col("predicate"), col("block"))
+      .agg(countDistinct(col("rid")).as("n_a"))
+      .join(br.groupBy(col("predicate"), col("block"))
+        .agg(countDistinct(col("rid")).as("n_b")), Seq("predicate", "block"))
+    val degenerate = sizes
+      .filter(col("n_a") === nLeft && col("n_b") === nRight)
+      .select(col("predicate")).distinct()
+    val keptL = bl.join(broadcast(degenerate), Seq("predicate"), "left_anti")
+    keptL.as("x")
+      .join(br.as("y"),
+        col("x.predicate") === col("y.predicate") && col("x.block") === col("y.block"))
+      .select(col("x.predicate").as("predicate"),
+        col("x.rid").as("a"), col("y.rid").as("b"))
+      .distinct()
+      .groupBy(col("predicate"))
+      .agg(count(lit(1)).as("cover_count"))
+  }
+
   /** Deterministic record sampling to the reference's cap
     * (`labeler.py:229-233` N_SAMPLED_RECORDS): the reference random-samples
     * (`labeler.py:491-496`); here the first `cap` records in rid order —

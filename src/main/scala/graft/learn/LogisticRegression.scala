@@ -132,6 +132,53 @@ object LogisticRegression {
     xx
   }
 
+  /** The reference's C grid (`api.py:1146`). */
+  val DefaultCGrid: Seq[Double] = Seq(1e-5, 1e-4, 1e-3, 1e-2, 0.1, 1.0, 10.0)
+
+  /**
+   * Model selection over the C grid — the `GridSearchCV(LogisticRegression,
+   * C ∈ 1e-5..10, scoring='f1')` classifier (`api.py:1143-1148`) made
+   * deterministic: stratified k-fold splits by class-wise round-robin in
+   * input order (sklearn's own unshuffled StratifiedKFold is equally
+   * order-defined), mean validation f1 per C, FIRST maximal C wins (sklearn
+   * keeps the first best too), refit on the full data.
+   *
+   * @return (refit model, selected C)
+   */
+  def fitCv(x: Array[Array[Double]], y: Array[Int],
+            grid: Seq[Double] = DefaultCGrid, folds: Int = 5): (Model, Double) = {
+    require(x.length == y.length && x.nonEmpty)
+    val k = math.min(folds, x.length)
+    // fold id = index-within-class mod k: every fold sees each class in
+    // proportion, assignment is a pure function of input order
+    val fold = new Array[Int](x.length)
+    val seen = scala.collection.mutable.Map[Int, Int]().withDefaultValue(0)
+    for (i <- x.indices) { fold(i) = seen(y(i)) % k; seen(y(i)) += 1 }
+
+    def f1(c: Double): Double = {
+      val scores = (0 until k).flatMap { f =>
+        val trIdx = x.indices.filter(fold(_) != f)
+        val vaIdx = x.indices.filter(fold(_) == f)
+        if (vaIdx.isEmpty || trIdx.map(y).distinct.size < 2) None
+        else {
+          val m = fit(trIdx.map(x).toArray, trIdx.map(y).toArray, c)
+          var tp = 0; var fp = 0; var fn = 0
+          vaIdx.foreach { i =>
+            val pred = if (m.predict(x(i)) > 0.5) 1 else 0
+            if (pred == 1 && y(i) == 1) tp += 1
+            else if (pred == 1) fp += 1
+            else if (y(i) == 1) fn += 1
+          }
+          Some(if (2 * tp + fp + fn == 0) 0.0 else 2.0 * tp / (2 * tp + fp + fn))
+        }
+      }
+      if (scores.isEmpty) 0.0 else scores.sum / scores.size
+    }
+
+    val best = grid.map(c => c -> f1(c)).maxBy(_._2) // first max wins
+    (fit(x, y, best._1), best._1)
+  }
+
   /** Collect a capped, deterministically-ordered labeled-pair frame to the
     * driver arrays [[fit]] consumes.
     * @param labeled (features..., label) — `featureCols` then `labelCol`

@@ -193,6 +193,59 @@ class LearnSpec extends AnyFunSuite {
     assert(scored(1L) > 0.5 && scored(3L) < 0.5)
   }
 
+  test("record-link cover: two-sided blocks, degenerate-predicate skip (training.py:231-266)") {
+    val s = spark; import s.implicits._
+    val left = Seq((0L, "Bob x"), (1L, "Sue y")).toDF("rid", "f")
+    val right = Seq((0L, "Bob z"), (1L, "Tom w")).toDF("rid", "f")
+    val first = PredicateZoo.stringPredicates("f")
+      .filter(_.name == "(firstTokenPredicate, f)")
+    val counts = Cover.comparisonCoverCountsLink(left, right, first, 2L, 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("(firstTokenPredicate, f)") === 1L) // only (Bob x, Bob z)
+    // a constant-key predicate blocks ALL of both sides in one block -> skipped
+    val const = NamedPredicate("(p1, f)", _ => Set("1"))
+    val degenerate = Cover.comparisonCoverCountsLink(left, right, Seq(const), 2L, 2L).collect()
+    assert(degenerate.isEmpty)
+    // left-side blocks absent on the right never pair (training.py:243-246)
+    val rightOnly = Cover.comparisonCoverCountsLink(
+      Seq((0L, "Zed q")).toDF("rid", "f"), right, first, 1L, 2L).collect()
+    assert(rightOnly.isEmpty)
+  }
+
+  test("learnLink learns a predicate covering the link matches") {
+    val s = spark; import s.implicits._
+    val matches = Seq((0L, "Bob x", "Bob z")).toDF("pair_id", "f1", "f2")
+    val left = Seq((0L, "Bob x"), (1L, "Sue y"), (2L, "Al p")).toDF("rid", "f")
+    val right = Seq((0L, "Bob z"), (1L, "Tom w"), (2L, "Al q")).toDF("rid", "f")
+    val learned = BlockLearner.learnLink(matches, left, right, preds
+      .map(p => p.copy(name = p.name.replace("name", "f"))), recall = 1.0)
+    assert(learned.covered === Set(0))
+    assert(learned.predicates.nonEmpty)
+    val again = BlockLearner.learnLink(matches, left, right, preds
+      .map(p => p.copy(name = p.name.replace("name", "f"))), recall = 1.0)
+    assert(again === learned)
+  }
+
+  test("CV grid selection (GridSearchCV analogue) is deterministic and separates") {
+    // IMBALANCED on purpose: under heavy regularization the weights vanish
+    // but the unpenalized intercept fits the 6:2 base rate, so the model
+    // predicts all-positive and loses f1 on the negatives — only a less
+    // regularized C reaches f1 = 1 (balanced separable data would score
+    // f1 = 1 at EVERY C, the sign of a tiny weight suffices, and sklearn
+    // too would then keep the first grid point)
+    val x = Array(
+      Array(2.1), Array(1.9), Array(2.0), Array(1.8), Array(2.2), Array(1.7),
+      Array(-2.0), Array(-1.8))
+    val y = Array(1, 1, 1, 1, 1, 1, 0, 0)
+    val (m, c) = LogisticRegression.fitCv(x, y)
+    assert(LogisticRegression.DefaultCGrid.contains(c))
+    assert(m.predict(Array(2.0)) > 0.5 && m.predict(Array(-2.0)) < 0.5)
+    assert(c >= 0.1, s"heavy-regularization C must lose f1 on the imbalance, got C=$c")
+    val (m2, c2) = LogisticRegression.fitCv(x, y)
+    assert(c2 === c)
+    assert(java.util.Arrays.equals(m.weights, m2.weights) && m.intercept === m2.intercept)
+  }
+
   test("disagreement ranking: tiers and determinism") {
     val s = spark; import s.implicits._
     val cands = Seq(
