@@ -80,7 +80,17 @@ object Cover {
    * @return (predicate: string, cover_count: long)
    */
   def comparisonCoverCounts(records: DataFrame, preds: Seq[NamedPredicate],
-                            nRecords: Long): DataFrame = {
+                            nRecords: Long): DataFrame =
+    comparisonCoverPairs(records, preds, nRecords)
+      .groupBy(col("predicate"))
+      .agg(count(lit(1)).as("cover_count"))
+
+  /** The distinct covered pairs themselves, (predicate, a, b) — the
+    * long-format `comparison_cover` sets. [[comparisonCoverCounts]] is its
+    * count; [[weightedPairSample]] consumes the full frame (it never leaves
+    * the cluster). */
+  def comparisonCoverPairs(records: DataFrame, preds: Seq[NamedPredicate],
+                           nRecords: Long): DataFrame = {
     val br = blockRows(records, preds)
     val blockSizes = br.groupBy(col("predicate"), col("block"))
       .agg(count(lit(1)).as("sz"))
@@ -96,8 +106,34 @@ object Cover {
       .select(col("x.predicate").as("predicate"),
         col("x.rid").as("a"), col("y.rid").as("b"))
       .distinct()
-      .groupBy(col("predicate"))
+  }
+
+  /**
+   * Predicate-vote-weighted candidate sampling — the deterministic batch
+   * analogue of `BlockLearner._sample_indices` (`labeler.py:170-203`): each
+   * predicate votes for every pair it covers with strength inversely
+   * proportional to how many pairs it covers (rare predicates' votes are
+   * worth more), predicates covering `maxCover`+ pairs abstain, and the
+   * reference's weighted RNG draw becomes a top-`sampleSize` by weight
+   * (ties on pair id). Votes are integer-quantized (1e9 / cover_count) so
+   * the sum is exact under any partition order.
+   *
+   * @param maxCover vote-eligibility ceiling — the reference passes the
+   *                 all-pairs count n(n-1)/2
+   * @return (a, b, weight_q) the sampled candidate pairs
+   */
+  def weightedPairSample(records: DataFrame, preds: Seq[NamedPredicate],
+                         nRecords: Long, sampleSize: Int,
+                         maxCover: Long): DataFrame = {
+    val pairs = comparisonCoverPairs(records, preds, nRecords)
+    val counts = pairs.groupBy(col("predicate"))
       .agg(count(lit(1)).as("cover_count"))
+      .filter(col("cover_count") < maxCover)
+    pairs.join(broadcast(counts), Seq("predicate"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(expr("1000000000 div cover_count")).as("weight_q"))
+      .orderBy(col("weight_q").desc, col("a").asc, col("b").asc)
+      .limit(sampleSize)
   }
 
   /**

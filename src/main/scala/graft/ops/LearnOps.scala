@@ -98,6 +98,19 @@ object LearnOps {
           Seq(col("f_jac"), col("f_exact"))) * 1000000).cast("long").as("score_q"))
   }
 
+  /** Predicate-vote-weighted candidate sampling (`labeler.py:170-203`,
+    * see [[Cover.weightedPairSample]]) over the first 100 docs with the
+    * SQL-expressible predicate subset — DuckDB-oracled end to end
+    * (integer-quantized votes, deterministic top-50). */
+  def learnWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val records = docs(s, dir).filter(col("doc_id") < 100)
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id").as("rid"), col("text").as("f"))
+    val n = records.count()
+    Cover.weightedPairSample(records, oraclePreds, n,
+      sampleSize = 50, maxCover = n * (n - 1) / 2)
+  }
+
   /** Active-learning disagreement top-k (`labeler.py:348-398` as a batch
     * ranking, see [[graft.learn.Disagreement]]): candidates scored by the
     * fixed-sigmoid classifier, "covered" = the whole-field blocking

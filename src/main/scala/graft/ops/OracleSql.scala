@@ -786,6 +786,38 @@ object OracleSql {
         WHERE substr(replace(f1, ' ', ''), 1, 3) = substr(replace(f2, ' ', ''), 1, 3))
       SELECT predicate, covered_pairs FROM c WHERE covered_pairs > 0""",
 
+    // predicate-vote-weighted candidate sampling: blocks per predicate over
+    // the preprocessed field, pairs within block, votes = 1e9 div
+    // cover_count for predicates below the all-pairs ceiling, top-50
+    "learn_weighted_sample" -> """
+      WITH r AS (
+        SELECT doc_id AS rid, trim(regexp_replace(text, '\s+', ' ', 'g')) AS f
+        FROM documents WHERE doc_id < 100 AND text IS NOT NULL AND text <> ''),
+      nn AS (SELECT count(*) AS n FROM r),
+      b AS (
+        SELECT '(wholeFieldPredicate, text)' AS predicate, f AS block, rid FROM r
+        UNION ALL
+        SELECT '(firstTokenPredicate, text)', regexp_extract(f, '^([\w'']+)', 1), rid
+        FROM r WHERE regexp_extract(f, '^([\w'']+)', 1) <> ''
+        UNION ALL
+        SELECT '(tokenFieldPredicate, text)', tok, rid FROM (
+          SELECT rid, unnest(list_distinct(regexp_extract_all(f, '[\w'']+'))) AS tok FROM r)
+        UNION ALL
+        SELECT '(sameThreeCharStartPredicate, text)', substr(replace(f, ' ', ''), 1, 3), rid
+        FROM r),
+      sz AS (SELECT predicate, block, count(*) AS sz FROM b GROUP BY 1, 2),
+      elig AS (SELECT predicate FROM (SELECT predicate, max(sz) AS m FROM sz GROUP BY 1), nn
+               WHERE m < nn.n),
+      p AS (SELECT DISTINCT x.predicate, x.rid AS a, y.rid AS b
+            FROM b x JOIN b y ON x.predicate = y.predicate AND x.block = y.block
+                              AND x.rid < y.rid
+            JOIN elig e ON e.predicate = x.predicate),
+      cnt AS (SELECT predicate, count(*) AS cover_count FROM p, nn GROUP BY predicate, nn.n
+              HAVING count(*) < (nn.n * (nn.n - 1)) // 2),
+      w AS (SELECT a, b, CAST(sum(1000000000 // cover_count) AS BIGINT) AS weight_q
+            FROM p JOIN cnt USING (predicate) GROUP BY a, b)
+      SELECT a, b, weight_q FROM w ORDER BY weight_q DESC, a ASC, b ASC LIMIT 50""",
+
     // disagreement top-20: tiered ranking over the fixed-sigmoid classifier
     // score and the whole-field blocker decision (see learn.Disagreement)
     "learn_disagreement" -> """
