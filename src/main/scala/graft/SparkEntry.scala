@@ -118,6 +118,7 @@ object SparkEntry {
     "learn_lr_score" -> (LearnOps.learnLrScore _), // rows-only (IRLS fit)
     "learn_disagreement" -> (LearnOps.learnDisagreement _),
     "learn_weighted_sample" -> (LearnOps.learnWeightedSample _),
+    "trained_partition" -> (LearnOps.trainedPartition _), // rows-only (full learned loop)
     // kernel-only ops promoted to catalog rows (rows-only)
     "pred_metaphone_token" -> (Queries.predMetaphoneToken _), // rows-only (no DuckDB metaphone)
     "score_affine_gap" -> (Queries.scoreAffineGap _) // rows-only (affine-gap DP)

@@ -1,0 +1,134 @@
+package graft.learn
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Blocking, ClusterStage, ConnectedComponents, DedupConfig}
+
+/**
+ * Trained dedupe — the reference's end-to-end `Dedupe` loop
+ * (`api.py:1100-1195` train + `api.py:151-195` partition) closed on Spark:
+ * learn blocking predicates from labeled matches ([[BlockLearner]]), fit
+ * the classifier ([[LogisticRegression.fitCv]] — the GridSearchCV
+ * analogue), then block / score / cluster the full table under the LEARNED
+ * settings. This is the learned-settings counterpart of the fixed-config
+ * flagship [[graft.dedup.Pipeline]]; a reference user's
+ * `prepare_training → train → partition` maps onto
+ * `train(labeled, records) → partition(records, settings)`.
+ *
+ * Scale shape: predicate blocking is a per-row flatMap of the learned
+ * kernel predicates emitting (tagged key, rid) — the `Fingerprinter` loop
+ * (`blocking.py:58-115`), partition-parallel — feeding the SAME hot-key-
+ * capped pair generation as the flagship ([[Blocking.candidatePairs]]; the
+ * cap is this engine's standing skew rule — the reference has none and
+ * melts on a constant-ish learned predicate). Scoring is the fitted LR as
+ * one codegen Column; clustering reuses the refiltered CC + per-component
+ * centroid linkage stages.
+ *
+ * Featurizer: token Jaccard, exact-match and length-ratio Columns — the
+ * `DataModel.distances` role (`datamodel.py:106-144`) in codegen-friendly
+ * form, IDENTICAL at train and inference time by construction (the same
+ * Column expressions evaluate the labeled pairs and the candidate pairs).
+ * The reference's default affine-gap comparator exists as the exact kernel
+ * ([[graft.texthash.AffineGap]], `score_affine_gap`) but the facade keeps
+ * the hot path inside whole-stage codegen.
+ */
+object TrainedDedupe {
+
+  final case class Settings(predicates: Vector[String],
+                            model: LogisticRegression.Model,
+                            c: Double)
+
+  /** The shared featurizer Columns over a pair of field values. */
+  def features(fa: Column, fb: Column): Seq[Column] = {
+    def t(c: Column) = array_distinct(regexp_extract_all(c, lit("[\\w']+"), lit(0)))
+    Seq(
+      size(array_intersect(t(fa), t(fb))).cast("double") /
+        greatest(size(array_union(t(fa), t(fb))), lit(1)).cast("double"),
+      when(fa === fb, 1.0).otherwise(0.0),
+      abs(length(fa) - length(fb)).cast("double") /
+        greatest(greatest(length(fa), length(fb)), lit(1)).cast("double"))
+  }
+
+  /**
+   * Learn settings from labeled pairs — `Dedupe.train` (`api.py:1100-1142`):
+   * blocking rules from the positive pairs via set cover, classifier
+   * weights from all labels via the CV'd LR fit.
+   *
+   * @param labeled (pair_id: long, f1, f2, label: int 0/1)
+   * @param records (rid: long, f) corpus sample for comparison coverage
+   */
+  def train(labeled: DataFrame, records: DataFrame,
+            preds: Seq[NamedPredicate] = PredicateZoo.stringPredicates("f"),
+            recall: Double = 1.0): Settings = {
+    val matches = labeled.filter(col("label") === 1)
+      .select(col("pair_id"), col("f1"), col("f2"))
+    val learned = BlockLearner.learn(matches, records, preds, recall)
+
+    val feats = features(col("f1"), col("f2"))
+      .zipWithIndex.map { case (c, i) => c.as(s"x$i") }
+    val training = labeled.select(feats :+ col("label").as("label"): _*)
+    val (x, y) = LogisticRegression.collectTraining(
+      training, feats.indices.map(i => s"x$i"), "label")
+    val (model, c) = LogisticRegression.fitCv(x, y)
+    Settings(learned.predicates, model, c)
+  }
+
+  /** Candidate pairs from the LEARNED predicates: per-row kernel key
+    * emission (keys live in per-predicate keyspaces like the reference's
+    * `:predicate_index` suffixing, `blocking.py:109`), then the flagship's
+    * hot-key-capped within-key self-join. */
+  def blockPairs(records: DataFrame, predicates: Vector[String],
+                 preds: Seq[NamedPredicate], cfg: DedupConfig): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    val active = preds.filter(p => predicates.contains(p.name))
+    require(active.nonEmpty, s"no learned predicates matched the zoo: $predicates")
+    val keys = records.select(col("rid").cast("long"), col("f"))
+      .as[(Long, String)]
+      .flatMap { case (rid, f) =>
+        active.iterator.flatMap { p =>
+          val tag = graft.texthash.TextHash.hashString(p.name, 42L)
+          p(f).iterator.map(k =>
+            (graft.texthash.TextHash.hashString(k, tag), rid))
+        }
+      }
+      .toDF("key", "rid")
+      .distinct() // a predicate can emit one key many times; reference
+                  // relies on its unique (block_key, record_id) index
+    Blocking.candidatePairs(keys, records.count(), cfg, idCol = "rid").pairs
+  }
+
+  /**
+   * Cluster the full table under learned settings —
+   * `Dedupe.partition(data, threshold)` (`api.py:151-195`): learned-
+   * predicate blocking → fitted-LR pair scores (score > 0 kept, the
+   * classifier-zero drop `core.py:81-84`) → refiltered connected
+   * components → per-component centroid linkage + singletons.
+   *
+   * @param records (rid: long, f: string)
+   * @return (rid, cluster_id, confidence) — cluster_id = smallest member rid
+   */
+  def partition(records: DataFrame, settings: Settings, threshold: Double = 0.5,
+                preds: Seq[NamedPredicate] = PredicateZoo.stringPredicates("f"),
+                cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    val r = records.select(col("rid").cast("long").as("rid"), col("f"))
+    val pairs = blockPairs(r, settings.predicates, preds, cfg)
+    val sides = r.select(col("rid"), col("f"))
+    val scored = pairs
+      .join(sides.select(col("rid").as("a"), col("f").as("f_a")), Seq("a"))
+      .join(sides.select(col("rid").as("b"), col("f").as("f_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        LogisticRegression.scoreColumn(settings.model,
+          features(col("f_a"), col("f_b"))).cast("float").as("score"))
+      .filter(col("score") > 1e-6f) // predict_proba exact-zero drop analogue
+    val labeled = ConnectedComponents.withRefilter(scored, cfg.maxComponents)
+    val clustered = ClusterStage.clusterComponents(labeled, threshold, cfg.maxComponents)
+    val withSingles = ClusterStage.addSingletons(
+      r.select(col("rid").as("nid")), clustered)
+    withSingles.select(col("nid").as("rid"), col("cluster_nid").as("cluster_id"),
+      col("confidence"))
+  }
+}

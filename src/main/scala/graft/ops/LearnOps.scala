@@ -98,6 +98,29 @@ object LearnOps {
           Seq(col("f_jac"), col("f_exact"))) * 1000000).cast("long").as("score_q"))
   }
 
+  /** The full learned-settings loop as one catalog query —
+    * `train → partition` (`api.py:1100-1195,151-195`, see
+    * [[graft.learn.TrainedDedupe]]): truncation-dup positives + consecutive
+    * negatives train the blocker and classifier; the corpus (originals +
+    * their truncations under shifted rids) is then partitioned under the
+    * learned settings. Rows-only (set cover + IRLS + linkage); the loop's
+    * semantics are spec-tested in TrainedDedupeSpec. */
+  def trainedPartition(s: SparkSession, dir: String): DataFrame = {
+    val trunc = expr(
+      "array_join(slice(split(f, ' '), 1, greatest(size(split(f, ' ')) - 2, 1)), ' ')")
+    val base = docs(s, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id").as("rid"), col("text").as("f"))
+    val records = base.unionByName(
+      base.select((col("rid") + 100000L).as("rid"), trunc.as("f")))
+    val pos = matchFixture(s, dir)
+      .select(col("pair_id"), col("f1"), col("f2"), lit(1).as("label"))
+    val neg = consecutivePairs(s, dir).filter(col("pair_id") < 25)
+      .select((col("pair_id") + 1000L).as("pair_id"), col("f1"), col("f2"),
+        lit(0).as("label"))
+    val settings = graft.learn.TrainedDedupe.train(pos.unionByName(neg), records)
+    graft.learn.TrainedDedupe.partition(records, settings)
+  }
+
   /** Predicate-vote-weighted candidate sampling (`labeler.py:170-203`,
     * see [[Cover.weightedPairSample]]) over the first 100 docs with the
     * SQL-expressible predicate subset — DuckDB-oracled end to end

@@ -1,0 +1,81 @@
+package graft.learn
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end learned-settings dedupe: train (set-cover blocking + CV'd LR)
+  * then partition (block → score → cluster) — the reference's
+  * `prepare_training → train → partition` loop (`api.py:1100-1195,151-195`)
+  * closed on Spark. */
+class TrainedDedupeSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  // 12 entities, each with 2-3 name variants sharing their first token;
+  // first tokens are unique across entities
+  private val entities: Seq[Seq[String]] = (0 until 12).map { e =>
+    val base = s"entity$e surname$e street"
+    Seq(base, base + " apt", s"entity$e surname$e road")
+  }
+
+  private def recordsDf = {
+    val rows = entities.flatten.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+    rows.toDF("rid", "f")
+  }
+
+  private def labeledDf = {
+    // positives: BOTH variant shapes of the first 6 entities (the suffix
+    // dup at token-jaccard 0.75 and the last-token swap at 0.5 — training
+    // must represent every match shape partition should find, exactly as a
+    // reference user labels both); negatives: cross-entity pairs
+    val pos = entities.take(6).flatMap(v => Seq((v(0), v(1), 1), (v(0), v(2), 1)))
+    val neg = (0 until 6).map(e => (entities(e).head, entities(e + 6).head, 0))
+    (pos ++ neg).zipWithIndex
+      .map { case ((a, b, l), i) => (i.toLong, a, b, l) }
+      .toDF("pair_id", "f1", "f2", "label")
+  }
+
+  test("train learns predicates + classifier; partition clusters entities") {
+    val settings = TrainedDedupe.train(labeledDf, recordsDf)
+    assert(settings.predicates.nonEmpty)
+    assert(LogisticRegression.DefaultCGrid.contains(settings.c))
+
+    val out = TrainedDedupe.partition(recordsDf, settings)
+    val byRid = out.select($"rid", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert(byRid.size == entities.flatten.size, "every record surfaces exactly once")
+
+    // variants of each entity must co-cluster; different entities separate
+    val ridOf = entities.flatten.zipWithIndex.map { case (f, i) => f -> i.toLong }.toMap
+    entities.foreach { v =>
+      val cids = v.map(f => byRid(ridOf(f))).distinct
+      assert(cids.size == 1, s"entity variants split: $v -> $cids")
+    }
+    val clusterIds = entities.map(v => byRid(ridOf(v.head)))
+    assert(clusterIds.distinct.size == entities.size,
+      "different entities merged into one cluster")
+  }
+
+  test("trained loop is deterministic end to end") {
+    val s1 = TrainedDedupe.train(labeledDf, recordsDf)
+    val s2 = TrainedDedupe.train(labeledDf, recordsDf)
+    assert(s1.predicates === s2.predicates)
+    assert(s1.c === s2.c)
+    assert(java.util.Arrays.equals(s1.model.weights, s2.model.weights))
+    val p1 = TrainedDedupe.partition(recordsDf, s1)
+      .as[(Long, Long, Double)].collect().toSet
+    val p2 = TrainedDedupe.partition(recordsDf.repartition(7), s2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(p1 === p2, "partition output must not depend on input partitioning")
+  }
+
+  test("blockPairs respects the hot-key cap (skew rule holds under learned predicates)") {
+    // a degenerate corpus where one first-token key covers everything:
+    // the learned-predicate pair generation must stay bounded by the cap,
+    // not go quadratic
+    val many = (0 until 300).map(i => (i.toLong, s"same first$i tail")).toDF("rid", "f")
+    val cfg = graft.dedup.DedupConfig(hotKeyMin = 10, hotKeyFrac = 0.0, hotKeyAbsCap = 10)
+    val pairs = TrainedDedupe.blockPairs(many,
+      Vector("(firstTokenPredicate, f)"), PredicateZoo.stringPredicates("f"), cfg)
+    assert(pairs.count() == 0L, "the all-covering key must be dropped by the cap")
+  }
+}
