@@ -13,9 +13,11 @@ import org.apache.spark.sql.DataFrame
  * match-cover sets (≤ |matches| indices per predicate, and the reference
  * caps labeled matches in the low thousands) and the per-predicate
  * comparison-cover COUNTS cross to the driver, where the reference's own
- * branch-and-bound search runs (`candidate_types="simple"`,
- * `training.py:64-86`; the random-forest conjunction sampler draws on
- * Python's global RNG and is out of scope for a deterministic engine).
+ * branch-and-bound search runs. Both candidate modes are supported:
+ * `candidate_types="simple"` (`training.py:64-86`) and
+ * `"random forest"` conjunctions via the fixed-seed [[RandomForest]]
+ * sampler (the pair SETS additionally cross to the driver in that mode,
+ * 8-byte-hashed, bounded by the sample caps).
  *
  * Index predicates do not participate ([[PredicateZoo]] docs — the
  * `index_predicates=False` mode, `training.py:97-103`); this engine's
@@ -33,7 +35,12 @@ object BlockLearner {
       /** the recall target actually used (after clamping to coverable) */
       targetCover: Int,
       /** total comparison-cover cost of the learned set */
-      coverCount: Long)
+      coverCount: Long,
+      /** each learned rule as its zoo part names — simple rules are
+        * single-element; conjunctions (candidate_types="random forest")
+        * carry their growth-ordered parts. Resolve to executable
+        * predicates with [[PredicateZoo.resolve]]. */
+      conjunctions: Vector[Vector[String]] = Vector.empty)
 
   /**
    * `BlockLearner.learn` (`training.py:37-95`).
@@ -46,18 +53,25 @@ object BlockLearner {
    */
   def learn(matches: DataFrame, records: DataFrame,
             preds: Seq[NamedPredicate], recall: Double,
-            maxCalls: Int = 2500): Learned = {
+            maxCalls: Int = 2500,
+            candidateTypes: String = "simple", rfSeed: Long = 42L): Learned = {
     val nMatches = matches.count()
     require(nMatches > 0,
       "You must supply at least one pair of matching records to learn blocking rules.")
+    require(candidateTypes == "simple" || candidateTypes == "random forest",
+      "candidate_type is not valid")
 
     val sampled = Cover.sampleRecords(records, SampledRecordsCap)
     val nRecords = math.min(records.count(), SampledRecordsCap.toLong)
 
     val matchCover = Cover.collectMatchCover(Cover.matchCover(matches, preds), preds)
+    val coverPairs = Cover.comparisonCoverPairs(sampled, preds, nRecords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comparisonCounts: Map[String, Long] =
-      Cover.comparisonCoverCounts(sampled, preds, nRecords).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      coverPairs.groupBy(org.apache.spark.sql.functions.col("predicate"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cover_count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     // match_cover.keys - comparison_cover.keys deleted (training.py:53-55):
     // a predicate with no comparison coverage has no cost estimate
@@ -68,11 +82,44 @@ object BlockLearner {
     var target = (recall * nMatches).toInt
     if (coverable.size < target) target = coverable.size
 
-    val candidates = mc.map { case (n, cover) =>
+    val simple = mc.map { case (n, cover) =>
       BranchAndBound.Candidate(n, cover, comparisonCounts(n))
     }
-    searchAndWrap(mc, candidates, target, maxCalls)
+    val partsOf = scala.collection.mutable.Map.empty[String, Vector[String]]
+    mc.foreach { case (n, _) => partsOf(n) = Vector(n) }
+
+    // random-forest conjunctions kick in once the labeled set is big enough
+    // to support them without overfitting (K = floor(log10(n)) > 1,
+    // training.py:70-80); simple candidates always stay in the pool
+    val k = math.max(math.floor(math.log10(nMatches.toDouble)).toInt, 1)
+    val candidates =
+      if (candidateTypes != "random forest" || k <= 1) simple
+      else {
+        val mcNames = mc.map(_._1).toSet
+        // pair sets to the driver, hashed to 8 bytes apiece (only sizes and
+        // intersections matter; a 2^-64 collision perturbs one score)
+        val cmpSets: Map[String, Set[Long]] = coverPairs.collect()
+          .iterator
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .filter { case (p, _, _) => mcNames.contains(p) }
+          .toVector.groupBy(_._1)
+          .map { case (p, xs) =>
+            p -> xs.iterator.map { case (_, a, b) =>
+              graft.texthash.TextHash.mix64(graft.texthash.TextHash.mix64(a) ^ b)
+            }.toSet
+          }
+        val conj = RandomForest.candidates(mc, cmpSets, k, seed = rfSeed)
+          .filter(_.parts.size > 1) // single-part entries duplicate `simple`
+        conj.foreach { c => partsOf(conjName(c.parts)) = c.parts }
+        simple ++ conj.map(c =>
+          BranchAndBound.Candidate(conjName(c.parts), c.cover, c.coverCount))
+      }
+    coverPairs.unpersist(false)
+    searchAndWrap(mc, candidates, target, maxCalls, partsOf.toMap)
   }
+
+  /** Compound display name — matches [[NamedPredicate.compound]]. */
+  def conjName(parts: Vector[String]): String = parts.mkString("(", " + ", ")")
 
   /**
    * Record-link variant (`RecordLinkBlockLearner`, `training.py:188-266` +
@@ -105,19 +152,23 @@ object BlockLearner {
     val candidates = mc.map { case (n, cover) =>
       BranchAndBound.Candidate(n, cover, comparisonCounts(n))
     }
-    searchAndWrap(mc, candidates, target, maxCalls)
+    searchAndWrap(mc, candidates, target, maxCalls,
+      mc.map { case (n, _) => n -> Vector(n) }.toMap)
   }
 
   private def searchAndWrap(mc: Vector[(String, Set[Int])],
                             candidates: Vector[BranchAndBound.Candidate],
-                            target: Int, maxCalls: Int): Learned = {
+                            target: Int, maxCalls: Int,
+                            partsOf: Map[String, Vector[String]]): Learned = {
     val finalPreds = BranchAndBound.search(candidates, target, maxCalls)
-    // union the ORIGINAL covers (candidates descend the tree with reduced
-    // covers — branch_and_bound.py:47-52 `_covered` also reads the original)
-    val origMap = mc.toMap
+    // union the ORIGINAL CANDIDATE covers (candidates descend the tree with
+    // reduced covers — branch_and_bound.py:47-52 `_covered` also reads the
+    // original); a conjunction's original cover is its own entry, not mc's
+    val origMap = candidates.iterator.map(c => c.name -> c.cover).toMap
     val covered =
       if (finalPreds.isEmpty) Set.empty[Int]
       else finalPreds.iterator.map(p => origMap(p.name)).reduce(_ union _)
-    Learned(finalPreds.map(_.name), covered, target, finalPreds.map(_.coverCount).sum)
+    Learned(finalPreds.map(_.name), covered, target, finalPreds.map(_.coverCount).sum,
+      finalPreds.map(p => partsOf(p.name)))
   }
 }

@@ -28,7 +28,35 @@ final case class NamedPredicate(name: String, keys: String => Set[String]) {
     else keys(Predicates.stringPreprocess(field))
 }
 
+object NamedPredicate {
+  /** `CompoundPredicate` (`predicates.py:344-375`): block keys are the
+    * cross product of the parts' key sets, ':'-joined with ':' escaped as
+    * '\:'. Works on the preprocessed field ([[Predicates.stringPreprocess]]
+    * is idempotent, so parts see exactly what they'd see standalone); any
+    * part with no keys empties the product, like `itertools.product`. */
+  def compound(parts: Seq[NamedPredicate]): NamedPredicate = {
+    require(parts.nonEmpty)
+    NamedPredicate(
+      parts.map(_.name).mkString("(", " + ", ")"),
+      f => parts.map(_.keys(f).toSeq.sorted).foldLeft(Seq(Seq.empty[String])) {
+        (acc, ks) => for { pre <- acc; k <- ks } yield pre :+ k // empty ks empties the product
+      }.map(_.map(_.replace(":", "\\:")).mkString(":")).toSet)
+  }
+}
+
 object PredicateZoo {
+
+  /** Resolve learned rule part-lists ([[BlockLearner.Learned.conjunctions]])
+    * to executable predicates against a zoo: single parts look up directly,
+    * multi-part rules become [[NamedPredicate.compound]] conjunctions. */
+  def resolve(conjunctions: Vector[Vector[String]],
+              zoo: Seq[NamedPredicate]): Seq[NamedPredicate] = {
+    val byName = zoo.map(p => p.name -> p).toMap
+    conjunctions.map {
+      case Vector(one) => byName(one)
+      case many => NamedPredicate.compound(many.map(byName))
+    }
+  }
 
   /** The simple-predicate zoo of a `String(field)` variable, in the
     * reference's declaration order (`variables/string.py:13-32` base +

@@ -37,7 +37,13 @@ object TrainedDedupe {
 
   final case class Settings(predicates: Vector[String],
                             model: LogisticRegression.Model,
-                            c: Double)
+                            c: Double,
+                            /** learned rules as zoo part-lists (conjunctions
+                              * for candidate_types="random forest") */
+                            conjunctions: Vector[Vector[String]] = Vector.empty) {
+    def rules: Vector[Vector[String]] =
+      if (conjunctions.nonEmpty) conjunctions else predicates.map(Vector(_))
+  }
 
   /** The shared featurizer Columns over a pair of field values. */
   def features(fa: Column, fb: Column): Seq[Column] = {
@@ -60,10 +66,12 @@ object TrainedDedupe {
    */
   def train(labeled: DataFrame, records: DataFrame,
             preds: Seq[NamedPredicate] = PredicateZoo.stringPredicates("f"),
-            recall: Double = 1.0): Settings = {
+            recall: Double = 1.0,
+            candidateTypes: String = "simple"): Settings = {
     val matches = labeled.filter(col("label") === 1)
       .select(col("pair_id"), col("f1"), col("f2"))
-    val learned = BlockLearner.learn(matches, records, preds, recall)
+    val learned = BlockLearner.learn(matches, records, preds, recall,
+      candidateTypes = candidateTypes)
 
     val feats = features(col("f1"), col("f2"))
       .zipWithIndex.map { case (c, i) => c.as(s"x$i") }
@@ -71,7 +79,7 @@ object TrainedDedupe {
     val (x, y) = LogisticRegression.collectTraining(
       training, feats.indices.map(i => s"x$i"), "label")
     val (model, c) = LogisticRegression.fitCv(x, y)
-    Settings(learned.predicates, model, c)
+    Settings(learned.predicates, model, c, learned.conjunctions)
   }
 
   /** Candidate pairs from the LEARNED predicates: per-row kernel key
@@ -79,11 +87,17 @@ object TrainedDedupe {
     * `:predicate_index` suffixing, `blocking.py:109`), then the flagship's
     * hot-key-capped within-key self-join. */
   def blockPairs(records: DataFrame, predicates: Vector[String],
-                 preds: Seq[NamedPredicate], cfg: DedupConfig): DataFrame = {
+                 preds: Seq[NamedPredicate], cfg: DedupConfig): DataFrame =
+    blockPairsResolved(records,
+      preds.filter(p => predicates.contains(p.name)), cfg)
+
+  /** Same, over already-resolved rules (incl. compound conjunctions from
+    * [[PredicateZoo.resolve]]). */
+  def blockPairsResolved(records: DataFrame, active: Seq[NamedPredicate],
+                         cfg: DedupConfig): DataFrame = {
     val spark = records.sparkSession
     import spark.implicits._
-    val active = preds.filter(p => predicates.contains(p.name))
-    require(active.nonEmpty, s"no learned predicates matched the zoo: $predicates")
+    require(active.nonEmpty, "no learned predicates to block with")
     val keys = records.select(col("rid").cast("long"), col("f"))
       .as[(Long, String)]
       .flatMap { case (rid, f) =>
@@ -115,7 +129,7 @@ object TrainedDedupe {
     val spark = records.sparkSession
     import spark.implicits._
     val r = records.select(col("rid").cast("long").as("rid"), col("f"))
-    val pairs = blockPairs(r, settings.predicates, preds, cfg)
+    val pairs = blockPairsResolved(r, PredicateZoo.resolve(settings.rules, preds), cfg)
     val sides = r.select(col("rid"), col("f"))
     val scored = pairs
       .join(sides.select(col("rid").as("a"), col("f").as("f_a")), Seq("a"))

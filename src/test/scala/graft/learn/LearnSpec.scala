@@ -246,6 +246,86 @@ class LearnSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(m.weights, m2.weights) && m.intercept === m2.intercept)
   }
 
+  test("compound predicate: key product with ':' escaping (predicates.py:357-366)") {
+    val p1 = NamedPredicate("(p1, f)", _ => Set("a:1", "b"))
+    val p2 = NamedPredicate("(p2, f)", _ => Set("c"))
+    val comp = NamedPredicate.compound(Seq(p1, p2))
+    assert(comp.name === "((p1, f) + (p2, f))")
+    assert(comp("anything") === Set("a\\:1:c", "b:c"))
+    // any empty part empties the product, like itertools.product
+    val pEmpty = NamedPredicate("(p3, f)", _ => Set.empty)
+    assert(NamedPredicate.compound(Seq(p1, pEmpty))("x") === Set.empty)
+    // resolve builds compounds from learned part lists
+    val resolved = PredicateZoo.resolve(
+      Vector(Vector("(p1, f)"), Vector("(p1, f)", "(p2, f)")), Seq(p1, p2))
+    assert(resolved.map(_.name) === Seq("(p1, f)", "((p1, f) + (p2, f))"))
+  }
+
+  test("random-forest conjunctions: structure, cover intersection, determinism") {
+    import graft.texthash.TextHash.mix64
+    def pairSet(ids: Range): Set[Long] = ids.map(i => mix64(i.toLong)).toSet
+    // X and Y each cover all 150 matches but are expensive; their
+    // conjunction covers all matches over far fewer comparison pairs
+    val matchCover = Vector(
+      "X" -> (0 until 150).toSet,
+      "Y" -> (0 until 150).toSet,
+      "Z" -> (0 until 10).toSet)
+    val comparisonCover = Map(
+      "X" -> pairSet(0 until 1000),
+      "Y" -> pairSet(500 until 1500),
+      "Z" -> pairSet(0 until 20))
+    val conj = RandomForest.candidates(matchCover, comparisonCover, k = 2, nSamples = 200)
+    assert(conj.nonEmpty)
+    // every growth prefix registers, like the reference's per-step
+    // candidates[candidate] assignment — single-part entries included
+    val conj2 = conj.filter(_.parts.size == 2)
+    assert(conj2.nonEmpty)
+    conj2.foreach { c =>
+      // conjunction cover == intersection of its parts' match covers
+      val expect = c.parts.map(matchCover.toMap).reduce(_ intersect _)
+      assert(c.cover === expect, s"${c.parts}")
+      // conjunctive cost == |intersection of comparison covers|
+      val expectCost = c.parts.map(comparisonCover).reduce(_ intersect _).size.toLong
+      assert(c.coverCount === expectCost)
+    }
+    val xy = conj2.find(c => c.parts.toSet == Set("X", "Y"))
+    assert(xy.isDefined, "the X+Y conjunction must be discovered")
+    assert(xy.get.coverCount == 500L && xy.get.cover.size == 150)
+    val again = RandomForest.candidates(matchCover, comparisonCover, k = 2, nSamples = 200)
+    assert(again === conj, "fixed seed must reproduce the candidate set exactly")
+    // and branch-and-bound prefers the cheap covering conjunction
+    val cands = matchCover.map { case (n, cov) =>
+      BranchAndBound.Candidate(n, cov, comparisonCover(n).size.toLong) } ++
+      conj2.map(c => BranchAndBound.Candidate(c.parts.mkString("(", " + ", ")"),
+        c.cover, c.coverCount))
+    val picked = BranchAndBound.search(cands, target = 150)
+    // growth order inside the conjunction is sample-dependent; identity is
+    // the part SET (CompoundPredicate __eq__ is frozenset equality)
+    assert(picked.map(_.name) === Vector(xy.get.parts.mkString("(", " + ", ")")))
+  }
+
+  test("learn with candidate_types=random forest on a 120-match corpus") {
+    val s = spark; import s.implicits._
+    val base = (0 until 120).map(i => s"first$i second$i third")
+    val matches = base.zipWithIndex
+      .map { case (f, i) => (i.toLong, f, f + " extra") }
+      .toDF("pair_id", "f1", "f2")
+    val records = (base ++ base.map(_ + " extra")).zipWithIndex
+      .map { case (f, i) => (i.toLong, f) }.toDF("rid", "f")
+    val learned = BlockLearner.learn(matches, records,
+      PredicateZoo.stringPredicates("f"), recall = 1.0,
+      candidateTypes = "random forest")
+    assert(learned.covered.size >= learned.targetCover)
+    assert(learned.targetCover === 120)
+    assert(learned.conjunctions.nonEmpty)
+    assert(learned.conjunctions.flatten.toSet.subsetOf(
+      PredicateZoo.stringPredicates("f").map(_.name).toSet))
+    val again = BlockLearner.learn(matches, records,
+      PredicateZoo.stringPredicates("f"), recall = 1.0,
+      candidateTypes = "random forest")
+    assert(again === learned)
+  }
+
   test("disagreement ranking: tiers and determinism") {
     val s = spark; import s.implicits._
     val cands = Seq(
