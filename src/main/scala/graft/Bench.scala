@@ -22,7 +22,8 @@ object Bench {
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embed_cosine",
     "tfidf_search",
     "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
-    "ann_l2_topk", "mm_binary_meta")
+    "ann_l2_topk", "mm_binary_meta",
+    "learn_cover", "learn_weighted_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

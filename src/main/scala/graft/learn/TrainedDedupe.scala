@@ -113,6 +113,89 @@ object TrainedDedupe {
     Blocking.candidatePairs(keys, records.count(), cfg, idCol = "rid").pairs
   }
 
+  /** Two-sided learned-predicate candidate pairs — the blocking stage of
+    * `RecordLink.join` / `Gazetteer.search` (`api.py:448-459,842-848`:
+    * equi-join of the two sides' block keys). Keys hot on EITHER side are
+    * dropped first (broadcast anti-join — the engine's standing skew rule;
+    * the reference has none and a boilerplate key makes the join a
+    * cross-product of its two sides). */
+  def linkPairs(left: DataFrame, right: DataFrame, active: Seq[NamedPredicate],
+                cfg: DedupConfig): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    def keysOf(df: DataFrame): DataFrame =
+      df.select(col("rid").cast("long"), col("f"))
+        .as[(Long, String)]
+        .flatMap { case (rid, f) =>
+          active.iterator.flatMap { p =>
+            val tag = graft.texthash.TextHash.hashString(p.name, 42L)
+            p(f).iterator.map(k => (graft.texthash.TextHash.hashString(k, tag), rid))
+          }
+        }
+        .toDF("key", "rid").distinct()
+    val kl = keysOf(left)
+    val kr = keysOf(right)
+    val cap = Blocking.hotKeyCap(math.max(left.count(), right.count()), cfg)
+    def hotOf(k: DataFrame) = k.groupBy(col("key"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > cap).select(col("key"))
+    val hot = hotOf(kl).unionByName(hotOf(kr)).distinct()
+    kl.join(broadcast(hot), Seq("key"), "left_anti").withColumnRenamed("rid", "a")
+      .join(kr.join(broadcast(hot), Seq("key"), "left_anti")
+        .withColumnRenamed("rid", "b"), Seq("key"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Score two-sided candidate pairs with the fitted model. */
+  private def scoreLink(pairs: DataFrame, left: DataFrame, right: DataFrame,
+                        settings: Settings): DataFrame =
+    pairs
+      .join(left.select(col("rid").cast("long").as("a"), col("f").as("f_a")), Seq("a"))
+      .join(right.select(col("rid").cast("long").as("b"), col("f").as("f_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        LogisticRegression.scoreColumn(settings.model,
+          features(col("f_a"), col("f_b"))).as("score"))
+
+  /**
+   * `RecordLink.join(data_1, data_2, threshold, "one-to-one")`
+   * (`api.py:411-520`): learned-predicate two-sided blocking, fitted-LR
+   * scoring, greedy one-to-one matching above the threshold.
+   * @return (rid_l, rid_r, score)
+   */
+  def link(left: DataFrame, right: DataFrame, settings: Settings,
+           threshold: Double = 0.5,
+           preds: Seq[NamedPredicate] = PredicateZoo.stringPredicates("f"),
+           cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val pairs = linkPairs(left, right, PredicateZoo.resolve(settings.rules, preds), cfg)
+    val scored = scoreLink(pairs, left, right, settings)
+      .filter(col("score") > threshold)
+      // greedyOneToOne carries string ids (url-shaped); round-trip the rids
+      .select(col("a").cast("string").as("a"), col("b").cast("string").as("b"),
+        col("score"))
+    graft.dedup.Matching.greedyOneToOne(scored)
+      .select(col("a").cast("long").as("rid_l"), col("b").cast("long").as("rid_r"),
+        col("score"))
+  }
+
+  /**
+   * `Gazetteer.search(messy, n_matches, generator=False)` with learned
+   * settings (`api.py:938-995` + `_format_search_results`,
+   * `api.py:1007-1024`): top-n indexed matches above threshold per query,
+   * and EVERY query surfaces — unmatched ones with a null match/score row.
+   * @return (query_rid, match_rid, score)
+   */
+  def search(queries: DataFrame, index: DataFrame, settings: Settings,
+             threshold: Double = 0.5, n: Int = 1,
+             preds: Seq[NamedPredicate] = PredicateZoo.stringPredicates("f"),
+             cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val pairs = linkPairs(queries, index, PredicateZoo.resolve(settings.rules, preds), cfg)
+    val top = graft.dedup.Matching.gazetteTopN(
+      scoreLink(pairs, queries, index, settings), threshold, n)
+      .select(col("a").as("query_rid"), col("b").as("match_rid"), col("score"))
+    queries.select(col("rid").cast("long").as("query_rid")).distinct()
+      .join(top, Seq("query_rid"), "left")
+  }
+
   /**
    * Cluster the full table under learned settings —
    * `Dedupe.partition(data, threshold)` (`api.py:151-195`): learned-

@@ -68,6 +68,35 @@ class TrainedDedupeSpec extends AnyFunSuite {
     assert(p1 === p2, "partition output must not depend on input partitioning")
   }
 
+  test("link: learned-settings RecordLink.join — greedy one-to-one above threshold") {
+    val settings = TrainedDedupe.train(labeledDf, recordsDf)
+    val left = entities.indices.map(e => (e.toLong, entities(e).head)).toDF("rid", "f")
+    // right side: the 'apt' variant for the first 10 entities only
+    val right = (0 until 10).map(e => (100L + e, entities(e)(1))).toDF("rid", "f")
+    val links = TrainedDedupe.link(left, right, settings)
+      .as[(Long, Long, Double)].collect()
+    // one-to-one: each matched left/right id appears at most once
+    assert(links.map(_._1).distinct.length == links.length)
+    assert(links.map(_._2).distinct.length == links.length)
+    // the 10 true variant pairs all link, entities 10/11 have no right side
+    assert(links.map(l => (l._1, l._2)).toSet ===
+      (0 until 10).map(e => (e.toLong, 100L + e)).toSet)
+  }
+
+  test("search: learned-settings Gazetteer.search with empty-fill") {
+    val settings = TrainedDedupe.train(labeledDf, recordsDf)
+    val index = entities.indices.map(e => (e.toLong, entities(e).head)).toDF("rid", "f")
+    val queries = Seq(
+      (1000L, entities(3)(1)), // variant of entity 3 -> matches 3
+      (1001L, "totally novel text zzz")) // novel -> empty-fill row
+      .toDF("rid", "f")
+    val res = TrainedDedupe.search(queries, index, settings)
+      .select($"query_rid", $"match_rid").as[(Long, Option[Long])].collect().toMap
+    assert(res.size == 2, "every query surfaces exactly once (empty-fill)")
+    assert(res(1000L).contains(3L))
+    assert(res(1001L).isEmpty, "novel query must surface with a null match")
+  }
+
   test("blockPairs respects the hot-key cap (skew rule holds under learned predicates)") {
     // a degenerate corpus where one first-token key covers everything:
     // the learned-predicate pair generation must stay bounded by the cap,
