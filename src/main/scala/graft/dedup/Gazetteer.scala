@@ -36,15 +36,16 @@ object Gazetteer {
     * One row per url: a batch carrying the same url twice would break the
     * REPLACE-by-url invariant downstream (the Iceberg `MERGE INTO` fails at
     * runtime on multi-source matches; the parquet branch would insert both)
-    * — so duplicates collapse here, keeping an arbitrary-but-deterministic
-    * representative, matching the last-write-wins spirit of the reference's
+    * — so duplicates collapse here to the max normalized text per url
+    * (deterministic under any partitioning, unlike dropDuplicates' first-
+    * seen row), matching the last-write-wins spirit of the reference's
     * `REPLACE INTO` loop (`api.py:696-736`). */
   def signatureRows(pages: DataFrame, cfg: DedupConfig): DataFrame =
     Blocking.signatures(
       pages.select(col("url"), gf.normalize_text(col("text")).as("text"))
-        .filter(col("text").isNotNull), cfg)
+        .filter(col("text").isNotNull)
+        .groupBy(col("url")).agg(max(col("text")).as("text")), cfg)
       .select(col("url"), col("shingles"), col("sig"), col("simhash"))
-      .dropDuplicates("url")
 
   /** Catalog MERGE for the production Iceberg path: REPLACE-upsert by url
     * (`api.py:696-736`'s `REPLACE INTO` semantics). `updatesView` is a temp
