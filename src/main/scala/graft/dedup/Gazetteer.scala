@@ -59,42 +59,10 @@ object Gazetteer {
   def deleteSql(table: String, urlsView: String): String =
     s"DELETE FROM $table WHERE url IN (SELECT url FROM $urlsView)"
 
-  /**
-   * Parquet-path rewrite: write the replacement to `path__tmp` first, swap
-   * the live table aside to `path__old`, promote tmp, then drop old. The
-   * live table is never deleted before the replacement is fully written AND
-   * the previous version survives (as `__old`) until the promotion rename
-   * completes — any crash leaves a recoverable state (see [[recoverSwap]]).
-   */
-  private def rewrite(spark: SparkSession, path: String, df: DataFrame): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
-    val old = new org.apache.hadoop.fs.Path(path + "__old")
-    TableIO.write(df, tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true) // leftover of a crashed swap
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(tmp, live)
-    fs.delete(old, true)
-  }
-
-  /** Complete or roll back a swap interrupted by a crash: if the live table
-    * is missing, promote a fully-written `__tmp` (its `_SUCCESS` marker
-    * proves completeness) or else restore `__old` — never silently start an
-    * empty index when a previous version exists. */
-  private def recoverSwap(spark: SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
-    val old = new org.apache.hadoop.fs.Path(path + "__old")
-    if (!fs.exists(live)) {
-      if (TableIO.checkpointExists(spark, tmp.toString)) fs.rename(tmp, live)
-      else if (fs.exists(old)) fs.rename(old, live)
-    }
-    if (fs.exists(live)) { fs.delete(tmp, true); fs.delete(old, true) }
-  }
+  // the crash-safe parquet swap lives in TableIO (swapWrite/recoverSwap),
+  // shared with the trained streaming gazetteer
+  private def rewrite(spark: SparkSession, path: String, df: DataFrame): Unit =
+    TableIO.swapWrite(spark, path, df)
 
   /** Live index presence, after crash recovery. Public: any caller probing
     * for the index (e.g. [[graft.streaming.GazetteerStream.run]]) MUST go
@@ -102,10 +70,8 @@ object Gazetteer {
     * (live renamed to `__old`, promotion not yet done) would see "no index",
     * empty-fill every query as novel, and then re-index already-canonical
     * records when `index`'s own recovery restores the old table. */
-  def indexExists(spark: SparkSession, path: String): Boolean = {
-    if (!TableIO.icebergAvailable(spark)) recoverSwap(spark, path)
-    TableIO.checkpointExists(spark, path)
-  }
+  def indexExists(spark: SparkSession, path: String): Boolean =
+    TableIO.swapTableExists(spark, path)
 
   /** Add (or replace, by url) records in the persistent index. Production
     * (Iceberg catalog): an incremental `MERGE INTO` — O(changed records),
@@ -146,7 +112,7 @@ object Gazetteer {
 
   /** The indexed table with derived LSH band keys, ready for the band join. */
   def bandedIndex(spark: SparkSession, path: String, cfg: DedupConfig): DataFrame = {
-    if (!TableIO.icebergAvailable(spark)) recoverSwap(spark, path)
+    if (!TableIO.icebergAvailable(spark)) TableIO.recoverSwap(spark, path)
     TableIO.requireIntShingles(TableIO.read(spark, path), s"gazetteer index $path")
       .select(col("url").as("match_url"), col("shingles").as("m_shingles"),
         explode(gf.band_keys(col("sig"), cfg.bands)).as("band"))

@@ -50,6 +50,51 @@ object TableIO {
     df
   }
 
+  /**
+   * Crash-safe replace of a parquet table (the sandbox stand-in for an
+   * Iceberg `MERGE INTO`/`DELETE` commit): write the replacement to
+   * `path__tmp`, swap the live table aside to `path__old`, promote tmp,
+   * drop old. The live table is never deleted before the replacement is
+   * fully written AND the previous version survives (as `__old`) until the
+   * promotion rename completes — any crash leaves a state [[recoverSwap]]
+   * can roll forward or back.
+   */
+  def swapWrite(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    write(df, tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true) // leftover of a crashed swap
+    if (fs.exists(live)) fs.rename(live, old)
+    fs.rename(tmp, live)
+    fs.delete(old, true)
+  }
+
+  /** Complete or roll back a [[swapWrite]] interrupted by a crash: if the
+    * live table is missing, promote a fully-written `__tmp` (its `_SUCCESS`
+    * marker proves completeness) or else restore `__old` — never silently
+    * start empty when a previous version exists. */
+  def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    if (!fs.exists(live)) {
+      if (checkpointExists(spark, tmp.toString)) fs.rename(tmp, live)
+      else if (fs.exists(old)) fs.rename(old, live)
+    }
+    if (fs.exists(live)) { fs.delete(tmp, true); fs.delete(old, true) }
+  }
+
+  /** Live presence of a swap-maintained table, after crash recovery. */
+  def swapTableExists(spark: SparkSession, path: String): Boolean = {
+    if (!icebergAvailable(spark)) recoverSwap(spark, path)
+    checkpointExists(spark, path)
+  }
+
   /** A checkpoint is complete when its `_SUCCESS` marker exists. */
   def checkpointExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")

@@ -97,6 +97,35 @@ class TrainedDedupeSpec extends AnyFunSuite {
     assert(res(1001L).isEmpty, "novel query must surface with a null match")
   }
 
+  test("trained streaming gazetteer: batch-1 records index, batch-2 variants match") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val settings = TrainedDedupe.train(labeledDf, recordsDf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tgaz").toString + "/idx"
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.TrainedGazetteerStream.run(
+      mem.toDF().toDF("rid", "f"), dir, settings) { r =>
+      results ++= r.select($"query_rid", $"match_rid")
+        .as[(Long, Option[Long])].collect()
+    }
+    try {
+      // batch 1: two canonical records — nothing indexed yet, both empty-fill
+      mem.addData((1L, entities(0).head), (2L, entities(1).head))
+      q.processAllAvailable()
+      assert(results.toSet === Set((1L, None), (2L, None)))
+      // batch 2: a variant of record 1 + a novel record
+      results.clear()
+      mem.addData((3L, entities(0)(1)), (4L, "never seen before zz"))
+      q.processAllAvailable()
+      assert(results.toMap === Map(3L -> Some(1L), 4L -> None),
+        s"variant must match the batch-1 canonical: ${results.toList}")
+      // batch-2's novel record was indexed too
+      val idx = graft.io.TableIO.read(spark, dir).select($"rid").as[Long].collect().toSet
+      assert(idx === Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("blockPairs respects the hot-key cap (skew rule holds under learned predicates)") {
     // a degenerate corpus where one first-token key covers everything:
     // the learned-predicate pair generation must stay bounded by the cap,
