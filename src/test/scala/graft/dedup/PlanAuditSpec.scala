@@ -165,6 +165,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no partial aggregation:\n$plan")
   }
 
+  test("trained blocking plan: hot-key broadcast anti-join, no all-pairs join") {
+    val recs = spark.range(200).selectExpr("id as rid", "concat('tok', id % 40, ' tail', id) as f")
+    val rules = graft.learn.PredicateZoo.stringPredicates("f")
+      .filter(_.name == "(firstTokenPredicate, f)")
+    val pairs = graft.learn.TrainedDedupe.blockPairsResolved(recs, rules, DedupConfig())
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"learned-predicate hot-key drop is not a broadcast anti-join:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in learned blocking:\n${plan.take(3000)}")
+    // two-sided variant: same properties
+    val lp = graft.learn.TrainedDedupe.linkPairs(recs, recs, rules, DedupConfig())
+    val lplan = lp.queryExecution.executedPlan.toString
+    assert(lplan.contains("LeftAnti") &&
+      !lplan.contains("CartesianProduct") && !lplan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("tfidf weights and df table share one tf aggregation sub-plan (r3 fix)") {
     // the df table returned by tfidfWeightsWithDf must BE a subtree of the
     // weights plan — that is what lets exchange reuse run the corpus scan +
