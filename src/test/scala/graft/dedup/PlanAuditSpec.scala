@@ -137,6 +137,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     try {
+      val cachedBefore = spark.sparkContext.getPersistentRDDs.size
       val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("a", "b")
       val labels = ConnectedComponents.run(edges, localEdgeThreshold = 0)
         .as[(String, String)].collect().toSet
@@ -145,6 +146,11 @@ class PlanAuditSpec extends AnyFunSuite {
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       val entries = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       assert(entries.nonEmpty, "no reliable checkpoint data written")
+      // ADVICE r4: every per-round pre-checkpoint cache (persisted so the
+      // checkpoint writer reads blocks instead of recomputing the plan) is
+      // released again — a long CC run must not accumulate cached iterates
+      assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore,
+        s"CC run leaked caches: ${spark.sparkContext.getPersistentRDDs.size} > $cachedBefore")
     } finally {
       // unset so other tests keep using executor-local checkpoints
       spark.sparkContext.setCheckpointDir(null)

@@ -23,6 +23,28 @@ class ExprsSpec extends AnyFunSuite {
     null
   )
 
+  test("jaccard_sorted rejects pre-migration long arrays at analysis time") {
+    // round-3 migrated shingles to array<int>; a long-backed array must fail
+    // the analyzer with the migration message, never misread (ADVICE r4)
+    val df = spark.range(1)
+      .select(array(lit(1L), lit(2L)).as("a"), array(lit(1L)).as("b"))
+    val e = intercept[Exception] {
+      df.select(gf.jaccard_sorted($"a", $"b")).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + "|" + chain(t.getCause)
+    assert(chain(e).contains("ARRAY<INT>"), chain(e).take(500))
+    // and the persisted-table guard names the migration explicitly
+    val dir = java.nio.file.Files.createTempDirectory("graft-longshingles").toString
+    spark.range(3).select($"id".as("url"),
+      array(lit(1L), lit(2L)).as("shingles")).write.mode("overwrite").parquet(dir)
+    val g = intercept[IllegalStateException] {
+      graft.io.TableIO.requireIntShingles(spark.read.parquet(dir), "test table")
+    }
+    assert(g.getMessage.contains("re-index") || g.getMessage.contains("re-run"),
+      g.getMessage)
+  }
+
   test("normalize_text column == TextHash.normalizeText") {
     val got = samples.toDF("t").select(gf.normalize_text($"t")).as[String].collect()
     val want = samples.map(TextHash.normalizeText)

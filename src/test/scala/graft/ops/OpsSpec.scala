@@ -147,6 +147,16 @@ class OpsSpec extends AnyFunSuite {
     assert(r1("q1")._1.contains("c1"))
     assert(r1("q2") == ((None, None)), "unmatched query must surface with empty fill")
 
+    // a batch carrying the SAME url twice collapses to one row (REPLACE-by-
+    // url invariant — a duplicate would break the Iceberg MERGE and double-
+    // insert on parquet; ADVICE r4)
+    Gazetteer.index(spark, path,
+      Seq(("c3", "first version of this page"), ("c3", "second version of this page"))
+        .toDF("url", "text"), cfg)
+    assert(graft.io.TableIO.read(spark, path).filter($"url" === "c3").count() == 1,
+      "duplicate urls in one batch must collapse to one index row")
+    Gazetteer.unindex(spark, path, Seq("c3").toDF("url"))
+
     // REPLACE: re-index c1 with different content -> old blocks gone
     Gazetteer.index(spark, path, Seq(("c1", other + " replaced")).toDF("url", "text"), cfg)
     assert(graft.io.TableIO.read(spark, path).count() == 2, "same-key index must replace, not append")
