@@ -43,6 +43,63 @@ object TrainedDedupe {
                             conjunctions: Vector[Vector[String]] = Vector.empty) {
     def rules: Vector[Vector[String]] =
       if (conjunctions.nonEmpty) conjunctions else predicates.map(Vector(_))
+
+    /** Settings-file serialization — the `write_settings` half of the
+      * reference's train-once / `StaticDedupe`-forever workflow
+      * (`api.py:1218-1233`): learned rules + exact classifier weights.
+      * Doubles are hex-encoded (`java.lang.Double.toHexString`) so the
+      * round trip is BIT-exact — scoring under reloaded settings is
+      * byte-identical to scoring under the fresh ones. */
+    def toJson: String = {
+      def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+      def hex(d: Double) = java.lang.Double.toHexString(d)
+      val rulesJson = rules.map(_.map(p => "\"" + esc(p) + "\"")
+        .mkString("[", ",", "]")).mkString("[", ",", "]")
+      s"""{"version":1,"rules":$rulesJson,""" +
+        s""""weights":[${model.weights.map(w => "\"" + hex(w) + "\"").mkString(",")}],""" +
+        s""""intercept":"${hex(model.intercept)}","c":"${hex(c)}"}"""
+    }
+  }
+
+  /** Settings-file read-back — the `StaticDedupe` constructor
+    * (`api.py:1036-1067`): rebuild learned rules + classifier bit-exactly
+    * from [[Settings.toJson]] output. */
+  def settingsFromJson(json: String): Settings = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    require(m.get("version").asInt == 1, s"unknown settings version ${m.get("version")}")
+    import scala.jdk.CollectionConverters._
+    val rules = m.get("rules").elements().asScala.map(r =>
+      r.elements().asScala.map(_.asText).toVector).toVector
+    val weights = m.get("weights").elements().asScala
+      .map(w => java.lang.Double.parseDouble(w.asText)).toArray
+    Settings(
+      rules.map(parts => if (parts.size == 1) parts.head
+        else parts.mkString("(", " + ", ")")),
+      LogisticRegression.Model(weights,
+        java.lang.Double.parseDouble(m.get("intercept").asText)),
+      java.lang.Double.parseDouble(m.get("c").asText),
+      if (rules.forall(_.size == 1)) Vector.empty else rules)
+  }
+
+  /** Persist settings next to pipeline outputs (crash-safe tmp+rename). */
+  def writeSettings(spark: org.apache.spark.sql.SparkSession, path: String,
+                    settings: Settings): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    val out = fs.create(tmp, true)
+    out.write(settings.toJson.getBytes("UTF-8")); out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+
+  /** Load settings written by [[writeSettings]]. */
+  def readSettings(spark: org.apache.spark.sql.SparkSession, path: String): Settings = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    settingsFromJson(json)
   }
 
   /** The shared featurizer Columns over a pair of field values. */

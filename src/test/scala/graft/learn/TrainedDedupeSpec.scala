@@ -97,6 +97,24 @@ class TrainedDedupeSpec extends AnyFunSuite {
     assert(res(1001L).isEmpty, "novel query must surface with a null match")
   }
 
+  test("settings file round trip is bit-exact (StaticDedupe workflow, api.py:1036-1067,1218-1233)") {
+    val settings = TrainedDedupe.train(labeledDf, recordsDf)
+    val path = java.nio.file.Files.createTempDirectory("graft-settings").toString + "/settings.json"
+    TrainedDedupe.writeSettings(spark, path, settings)
+    val back = TrainedDedupe.readSettings(spark, path)
+    assert(back.rules === settings.rules)
+    assert(java.util.Arrays.equals(back.model.weights, settings.model.weights),
+      "weights must round-trip bit-exactly (hex float encoding)")
+    assert(back.model.intercept === settings.model.intercept)
+    assert(back.c === settings.c)
+    // partitioning under reloaded settings is byte-identical to fresh ones
+    val p1 = TrainedDedupe.partition(recordsDf, settings)
+      .as[(Long, Long, Double)].collect().toSet
+    val p2 = TrainedDedupe.partition(recordsDf, back)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(p1 === p2)
+  }
+
   test("trained streaming gazetteer: batch-1 records index, batch-2 variants match") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
