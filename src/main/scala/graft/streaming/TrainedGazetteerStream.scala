@@ -66,13 +66,21 @@ object TrainedGazetteerStream {
                 // one row per rid, deterministic representative (REPLACE-by-
                 // key invariant, like Gazetteer.signatureRows)
                 .groupBy(col("rid")).agg(max(col("f")).as("f"))
-              val updated =
-                if (TableIO.swapTableExists(spark, indexPath))
-                  TableIO.read(spark, indexPath)
-                    .join(novel.select(col("rid")), Seq("rid"), "left_anti")
-                    .unionByName(novel)
-                else novel
-              TableIO.swapWrite(spark, indexPath, updated)
+                .persist()
+              try {
+                // an all-matched batch must NOT rewrite the index — the swap
+                // is a full-table write in the sandbox (an Iceberg MERGE of
+                // zero rows in production, but skipping is free either way)
+                if (!novel.isEmpty) {
+                  val updated =
+                    if (TableIO.swapTableExists(spark, indexPath))
+                      TableIO.read(spark, indexPath)
+                        .join(novel.select(col("rid")), Seq("rid"), "left_anti")
+                        .unionByName(novel)
+                    else novel
+                  TableIO.swapWrite(spark, indexPath, updated)
+                }
+              } finally novel.unpersist()
             }
           } finally r.unpersist()
         } finally b.unpersist()
