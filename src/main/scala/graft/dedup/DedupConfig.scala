@@ -126,7 +126,12 @@ final case class DedupConfig(
       * `lcsPrefix`-bounded text prefixes (stride-1 `lcsWindow`-char windows,
       * diagonal-run identity — see [[Scoring.lcsScores]]) and the pair score
       * becomes greatest(jaccard, lcs / min prefix length). Rescues long
-      * verbatim containments whose token Jaccard is low. */
+      * verbatim containments whose token Jaccard is low.
+      *
+      * INTERPLAY: the SimHash prefilter runs FIRST — a 25%-containment pair
+      * sits far outside the default `scoreMaxHamming`=16 radius, so an
+      * LCS-rescue config should widen it (64 disables; the containment spec
+      * in DedupPipelineSpec shows the shape). */
     scoreLcs: Boolean = false,
     lcsWindow: Int = 6,
     /** Per-doc window-extraction bound: LCS work per doc is O(lcsPrefix)
