@@ -120,6 +120,35 @@ class LearnSpec extends AnyFunSuite {
     assert(res.map(_.name).toSet === Set("p1", "p2"))
   }
 
+  test("branch-and-bound == reference search on 8 golden covers (branch_and_bound.py)") {
+    import BranchAndBound.Candidate
+    // expected outputs produced by EXECUTING the reference's own
+    // branch_and_bound.search (imports stubbed, driver-side python) on
+    // identical covers/costs/insertion orders — a cross-implementation
+    // golden incl. tie-breaks and exploration order
+    def c(n: String, s: Set[Int], cc: Long) = Candidate(n, s, cc)
+    val cases: Seq[(Vector[Candidate], Int, Set[String])] = Seq(
+      (Vector(c("p_all", Set(0, 1, 2, 3), 100), c("p1", Set(0, 1), 10),
+        c("p2", Set(2, 3), 10), c("p3", Set(0), 1)), 4, Set("p1", "p2")),
+      (Vector(c("X", (0 until 150).toSet, 1000), c("Y", (0 until 150).toSet, 1000),
+        c("Z", (0 until 10).toSet, 20), c("XY", (0 until 150).toSet, 500)), 150, Set("XY")),
+      (Vector(c("a", Set(0, 1, 2), 5), c("b", Set(3, 4), 7), c("c", Set(0, 3), 2)),
+        5, Set("a", "b")),
+      (Vector(c("a", Set(0), 1)), 5, Set.empty),
+      (Vector(c("a", Set(0, 1), 3), c("b", Set(0, 1), 3), c("c", Set(1, 2), 3),
+        c("d", Set(2), 1)), 3, Set("a", "d")),
+      (Vector(c("w", Set(0, 1, 2, 3, 4), 9), c("x", Set(0, 1), 4),
+        c("y", Set(2, 3), 4), c("z", Set(4), 4)), 5, Set("w")),
+      (Vector(c("a", Set(0, 1, 2, 3), 8), c("b", Set(0, 1), 3), c("c", Set(2, 3), 3),
+        c("d", Set(0, 2), 3), c("e", Set(1, 3), 3)), 4, Set("b", "c")),
+      (Vector(c("a", Set(0, 1), 2), c("b", Set(1, 2), 2), c("c", Set(2, 3), 2),
+        c("d", Set(3, 4), 2), c("e", Set(0, 4), 2)), 5, Set("a", "c", "d")))
+    cases.zipWithIndex.foreach { case ((cover, target, want), i) =>
+      val got = BranchAndBound.search(cover, target).map(_.name).toSet
+      assert(got === want, s"golden case $i: got $got, reference picked $want")
+    }
+  }
+
   test("learn covers >= recall * matches and is deterministic") {
     val learned = BlockLearner.learn(pairsDf, recordsDf, preds, recall = 1.0)
     assert(learned.covered.size >= learned.targetCover)
