@@ -14,12 +14,16 @@ import scala.collection.immutable.SortedSet
  */
 object Predicates {
 
-  private val WordsRe = "[\\w']+".r // predicates.py:24
-  private val IntsRe = "\\d+".r // predicate_functions.py:12
-  private val StartWordRe = "^([\\w']+)".r // predicate_functions.py:13
-  private val TwoStartWordsRe = "^([\\w']+[^\\w]+[\\w']+)".r // :14 (\W+ == [^\w]+)
-  private val StartIntRe = "^(\\d+)".r // :15
-  private val AlphaNumRe = "(?=[a-zA-Z]*\\d)[a-zA-Z\\d]+".r // :16
+  // (?U): Python 3 regexes are unicode-aware — \w matches é/ß/中 and \d
+  // matches e.g. arabic-indic digits; Java defaults to ASCII classes, which
+  // silently splits unicode tokens (caught by the executed-reference fuzz
+  // fixture, PredicateFuzzSpec). UNICODE_CHARACTER_CLASS restores parity.
+  private val WordsRe = "(?U)[\\w']+".r // predicates.py:24
+  private val IntsRe = "(?U)\\d+".r // predicate_functions.py:12
+  private val StartWordRe = "(?U)^([\\w']+)".r // predicate_functions.py:13
+  private val TwoStartWordsRe = "(?U)^([\\w']+[^\\w]+[\\w']+)".r // :14 (\W+ == [^\w]+)
+  private val StartIntRe = "(?U)^(\\d+)".r // :15
+  private val AlphaNumRe = "(?U)(?=[a-zA-Z]*\\d)[a-zA-Z\\d]+".r // :16
 
   /** predicates.py:27-31 — remove ASCII punctuation (string.punctuation). */
   def stripPunc(s: String): String = {
@@ -30,7 +34,7 @@ object Predicates {
   /** StringPredicate preprocessing (predicates.py:97-103):
     * strip punctuation then collapse all whitespace to single spaces. */
   def stringPreprocess(s: String): String =
-    stripPunc(s).split("\\s+").filter(_.nonEmpty).mkString(" ")
+    stripPunc(s).split("(?U)\\s+").filter(_.nonEmpty).mkString(" ")
 
   // --- simple string predicates (predicate_functions.py) ------------------
 
@@ -44,11 +48,12 @@ object Predicates {
   def firstTwoTokensPredicate(f: String): Set[String] = // :37-42
     TwoStartWordsRe.findFirstMatchIn(f).map(m => Set(m.group(1))).getOrElse(Set.empty)
 
-  private def stripLeadingZeros(s: String): String = {
-    // str(int(s)) for a digits-only string
-    val t = s.dropWhile(_ == '0')
-    if (t.isEmpty) "0" else t
-  }
+  /** Python `int(s)` for a \d-matched string — unicode digits included
+    * (int("٣٤") == 34); output renders in ASCII like str(int(s)). */
+  private def pyInt(s: String): BigInt =
+    s.foldLeft(BigInt(0))((acc, c) => acc * 10 + Character.digit(c, 10))
+
+  private def stripLeadingZeros(s: String): String = pyInt(s).toString
 
   def commonIntegerPredicate(f: String): Set[String] = // :45-49
     IntsRe.findAllIn(f).map(stripLeadingZeros).toSet
@@ -57,7 +62,7 @@ object Predicates {
 
   def nearIntegersPredicate(f: String): Set[String] = // :56-66
     IntsRe.findAllIn(f).flatMap { s =>
-      val n = BigInt(s)
+      val n = pyInt(s)
       Seq((n - 1).toString, n.toString, (n + 1).toString)
     }.toSet
 
@@ -67,7 +72,7 @@ object Predicates {
   def hundredIntegersOddPredicate(f: String): Set[String] = // :73-74
     IntsRe.findAllIn(f).map { i =>
       val s = stripLeadingZeros(i)
-      s.dropRight(2) + "0" + (BigInt(s) mod 2).toString
+      s.dropRight(2) + "0" + (pyInt(i) mod 2).toString
     }.toSet
 
   def firstIntegerPredicate(f: String): Set[String] = // :77-82
@@ -85,8 +90,8 @@ object Predicates {
   def commonTwoTokens(f: String): Set[String] = ngramsTokens(pySplit(f), 2) // :94-95
   def commonThreeTokens(f: String): Set[String] = ngramsTokens(pySplit(f), 3) // :98-99
 
-  /** Python str.split() — split on whitespace runs, no empties. */
-  def pySplit(s: String): Seq[String] = s.split("\\s+").filter(_.nonEmpty).toSeq
+  /** Python str.split() — split on (unicode) whitespace runs, no empties. */
+  def pySplit(s: String): Seq[String] = s.split("(?U)\\s+").filter(_.nonEmpty).toSeq
 
   def fingerprint(f: String): Set[String] = Set(pySplit(f).sorted.mkString("")) // :102-103
 
