@@ -55,7 +55,7 @@ object TextHash {
     if (raw == null) return null
     var s = collapseSpaces(raw)
     s = s.replace('\n', ' ')
-    s = s.trim
+    s = pyStrip(s)
     s = stripChar(s, '"')
     s = stripChar(s, '\'')
     s = s.toLowerCase(java.util.Locale.ROOT)
@@ -77,6 +77,28 @@ object TextHash {
   }
 
   /** Python str.strip(ch): remove leading+trailing occurrences of ch. */
+  /** Python str.isspace() set: ASCII \t-\r + space, 0x1c-0x1f, NEL 0x85,
+    * and the unicode Zs/Zl/Zp separator categories (NBSP, thin space,
+    * line/paragraph separators, ideographic space...). Java's `trim`
+    * (chars <= 0x20) misses all the unicode ones — the reference's
+    * `.strip()` does not, and the north rule pins byte-identical normalized
+    * text (executed-reference fuzz: PreprocessFuzzSpec). */
+  private def pyIsSpace(c: Char): Boolean =
+    (c == ' ') || (c >= '\t' && c <= '\r') || (c >= 0x1c && c <= 0x1f) ||
+      c == 0x85 || {
+        val t = Character.getType(c)
+        t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
+          t == Character.PARAGRAPH_SEPARATOR
+      }
+
+  /** Python str.strip(): drop leading/trailing isspace() chars. */
+  private def pyStrip(s: String): String = {
+    var a = 0; var b = s.length
+    while (a < b && pyIsSpace(s.charAt(a))) a += 1
+    while (b > a && pyIsSpace(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
+  }
+
   private def stripChar(s: String, ch: Char): String = {
     var a = 0; var b = s.length
     while (a < b && s.charAt(a) == ch) a += 1
@@ -160,10 +182,11 @@ object TextHash {
     if (w == buf.length) buf else java.util.Arrays.copyOf(buf, w)
   }
 
-  /** Word tokens by the reference's `[\w']+` regex (`predicates.py:24`). */
+  /** Word tokens by the reference's `[\w']+` regex (`predicates.py:24`) —
+    * (?U) for Python's unicode-aware \w (see Predicates docs). */
   def wordTokens(text: String): Array[String] =
     if (text == null) Array.empty
-    else "[\\w']+".r.findAllIn(text).toArray
+    else "(?U)[\\w']+".r.findAllIn(text).toArray
 
   /** MinHash coefficient pairs (a_i odd, b_i) derived from the seed via
     * SplitMix64 — deterministic, no java.util.Random. */
