@@ -54,7 +54,8 @@ object BlockLearner {
   def learn(matches: DataFrame, records: DataFrame,
             preds: Seq[NamedPredicate], recall: Double,
             maxCalls: Int = 2500,
-            candidateTypes: String = "simple", rfSeed: Long = 42L): Learned = {
+            candidateTypes: String = "simple", rfSeed: Long = 42L,
+            maxCollectedPairs: Long = 20000000L): Learned = {
     val nMatches = matches.count()
     require(nMatches > 0,
       "You must supply at least one pair of matching records to learn blocking rules.")
@@ -96,18 +97,29 @@ object BlockLearner {
       if (candidateTypes != "random forest" || k <= 1) simple
       else {
         val mcNames = mc.map(_._1).toSet
-        // pair sets to the driver, hashed to 8 bytes apiece (only sizes and
-        // intersections matter; a 2^-64 collision perturbs one score)
-        val cmpSets: Map[String, Set[Long]] = coverPairs.collect()
-          .iterator
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-          .filter { case (p, _, _) => mcNames.contains(p) }
-          .toVector.groupBy(_._1)
-          .map { case (p, xs) =>
-            p -> xs.iterator.map { case (_, a, b) =>
-              graft.texthash.TextHash.mix64(graft.texthash.TextHash.mix64(a) ^ b)
-            }.toSet
+        // the random-forest sampler needs the pair SETS on the driver (the
+        // reference holds the same sets in RAM, training.py:310-356) —
+        // collect them guarded: only match-covering predicates, hashed to 8
+        // bytes apiece EXECUTOR-side (only sizes and intersections matter;
+        // a 2^-64 collision perturbs one score), and a loud size gate
+        // BEFORE the collect so a raised sampling cap can't silently OOM
+        // the driver
+        val toCollect = mcNames.iterator.map(n => comparisonCounts.getOrElse(n, 0L)).sum
+        require(toCollect <= maxCollectedPairs,
+          s"random-forest mode would collect $toCollect covered pairs across " +
+            s"${mcNames.size} predicates (cap $maxCollectedPairs, ~8 bytes/pair " +
+            "on the driver); lower the record sample or drop broad predicates")
+        val spark = coverPairs.sparkSession
+        import spark.implicits._
+        val cmpSets: Map[String, Set[Long]] = coverPairs
+          .filter(org.apache.spark.sql.functions.col("predicate")
+            .isin(mcNames.toSeq: _*))
+          .as[(String, Long, Long)]
+          .map { case (p, a, b) =>
+            (p, graft.texthash.TextHash.mix64(graft.texthash.TextHash.mix64(a) ^ b))
           }
+          .collect()
+          .groupBy(_._1).map { case (p, xs) => p -> xs.iterator.map(_._2).toSet }
         val conj = RandomForest.candidates(mc, cmpSets, k, seed = rfSeed)
           .filter(_.parts.size > 1) // single-part entries duplicate `simple`
         conj.foreach { c => partsOf(conjName(c.parts)) = c.parts }

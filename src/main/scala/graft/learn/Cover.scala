@@ -176,11 +176,13 @@ object Cover {
 
   /** Deterministic record sampling to the reference's cap
     * (`labeler.py:229-233` N_SAMPLED_RECORDS): the reference random-samples
-    * (`labeler.py:491-496`); here the first `cap` records in rid order —
-    * deterministic under any parallelism, which the engine's
-    * reproducibility rules require. */
-  def sampleRecords(records: DataFrame, cap: Int): DataFrame =
-    records.orderBy(col("rid")).limit(cap)
+    * (`labeler.py:491-496`); here the top `cap` records by a seeded
+    * xxhash64 of the rid — deterministic under any parallelism (the
+    * engine's reproducibility rules) yet UNBIASED like the reference's
+    * uniform draw (rid order can correlate with content — e.g. crawl
+    * order — and "first cap by rid" would inherit that bias). */
+  def sampleRecords(records: DataFrame, cap: Int, seed: Long = 42L): DataFrame =
+    records.orderBy(xxhash64(col("rid"), lit(seed)), col("rid")).limit(cap)
 
   /** Collect a (predicate, pair_id) match-cover frame into predicate →
     * covered-index sets, ordered by `preds` declaration order (Python dict

@@ -180,14 +180,19 @@ object LogisticRegression {
   }
 
   /** Collect a capped, deterministically-ordered labeled-pair frame to the
-    * driver arrays [[fit]] consumes.
+    * driver arrays [[fit]] consumes. Order is a seeded xxhash64 over the
+    * whole row — deterministic under any parallelism but UNBIASED when the
+    * label set exceeds the cap (ordering by feature values would keep a
+    * systematically low-valued sample, e.g. mostly negatives if low-Jaccard
+    * rows sort first); value columns only break hash ties.
     * @param labeled (features..., label) — `featureCols` then `labelCol`
     */
   def collectTraining(labeled: DataFrame, featureCols: Seq[String], labelCol: String,
-                      cap: Int = 10000): (Array[Array[Double]], Array[Int]) = {
+                      cap: Int = 10000, seed: Long = 42L): (Array[Array[Double]], Array[Int]) = {
+    val cols = (featureCols :+ labelCol).map(col)
     val rows = labeled
-      .select((featureCols :+ labelCol).map(col): _*)
-      .orderBy(featureCols.map(col) :+ col(labelCol): _*)
+      .select(cols: _*)
+      .orderBy(xxhash64(cols :+ lit(seed): _*) +: cols: _*)
       .limit(cap)
       .collect()
     val x = rows.map(r => featureCols.indices.map(i =>

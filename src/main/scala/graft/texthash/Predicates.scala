@@ -31,10 +31,17 @@ object Predicates {
     s.filterNot(punct.contains(_))
   }
 
+  // Python str.split() whitespace = Unicode White_Space (Java (?U)\s) PLUS
+  // the C0 separators FS/GS/RS/US (0x1c-0x1f), which White_Space excludes —
+  // Py_UNICODE_ISSPACE special-cases them. Splitting on \s alone keeps
+  // 'ab' as one token where Python yields two (executed-reference
+  // fuzz rows with 0x1c-0x1f pin this).
+  private val PySplitRe = "(?U)[\\s\\x1c-\\x1f]+"
+
   /** StringPredicate preprocessing (predicates.py:97-103):
     * strip punctuation then collapse all whitespace to single spaces. */
   def stringPreprocess(s: String): String =
-    stripPunc(s).split("(?U)\\s+").filter(_.nonEmpty).mkString(" ")
+    stripPunc(s).split(PySplitRe).filter(_.nonEmpty).mkString(" ")
 
   // --- simple string predicates (predicate_functions.py) ------------------
 
@@ -90,8 +97,9 @@ object Predicates {
   def commonTwoTokens(f: String): Set[String] = ngramsTokens(pySplit(f), 2) // :94-95
   def commonThreeTokens(f: String): Set[String] = ngramsTokens(pySplit(f), 3) // :98-99
 
-  /** Python str.split() — split on (unicode) whitespace runs, no empties. */
-  def pySplit(s: String): Seq[String] = s.split("(?U)\\s+").filter(_.nonEmpty).toSeq
+  /** Python str.split() — split on (unicode) whitespace runs incl.
+    * 0x1c-0x1f (see [[PySplitRe]]), no empties. */
+  def pySplit(s: String): Seq[String] = s.split(PySplitRe).filter(_.nonEmpty).toSeq
 
   def fingerprint(f: String): Set[String] = Set(pySplit(f).sorted.mkString("")) // :102-103
 

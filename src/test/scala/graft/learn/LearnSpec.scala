@@ -355,6 +355,29 @@ class LearnSpec extends AnyFunSuite {
     assert(again === learned)
   }
 
+  test("random-forest collect guard fires before a driver OOM (maxCollectedPairs)") {
+    val s = spark; import s.implicits._
+    // near-degenerate corpus: every record shares the token "common", so
+    // (tokenFieldPredicate, f) co-blocks ~n^2/2 pairs under the cap —
+    // exactly the shape that would flood the driver collect
+    // >= 100 matches so the RF branch engages (k = floor(log10 n) > 1)
+    val base = (0 until 120).map(i => s"common u$i")
+    val matches = base.zipWithIndex.take(100)
+      .map { case (f, i) => (i.toLong, f, f) }
+      .toDF("pair_id", "f1", "f2")
+    val records = base.zipWithIndex.map { case (f, i) => (i.toLong, f) }.toDF("rid", "f")
+    val err = intercept[IllegalArgumentException] {
+      BlockLearner.learn(matches, records, PredicateZoo.stringPredicates("f"),
+        recall = 1.0, candidateTypes = "random forest", maxCollectedPairs = 100L)
+    }
+    assert(err.getMessage.contains("would collect"))
+    assert(err.getMessage.contains("cap 100"))
+    // and the same corpus under the default bound learns fine
+    val learned = BlockLearner.learn(matches, records,
+      PredicateZoo.stringPredicates("f"), recall = 1.0, candidateTypes = "random forest")
+    assert(learned.covered.size >= learned.targetCover)
+  }
+
   test("disagreement ranking: tiers and determinism") {
     val s = spark; import s.implicits._
     val cands = Seq(
