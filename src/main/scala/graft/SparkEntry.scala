@@ -119,6 +119,9 @@ object SparkEntry {
     "learn_disagreement" -> (LearnOps.learnDisagreement _),
     "learn_weighted_sample" -> (LearnOps.learnWeightedSample _),
     "trained_partition" -> (LearnOps.trainedPartition _), // rows-only (full learned loop)
+    "trained_restaurant" -> (LearnOps.trainedRestaurant _), // rows-only (reference's own benchmark)
+    "trained_link" -> (LearnOps.trainedLink _), // rows-only (learned RecordLink.join)
+    "trained_search" -> (LearnOps.trainedSearch _), // rows-only (learned Gazetteer.search)
     // kernel-only ops promoted to catalog rows (rows-only)
     "pred_metaphone_token" -> (Queries.predMetaphoneToken _), // rows-only (no DuckDB metaphone)
     "score_affine_gap" -> (Queries.scoreAffineGap _) // rows-only (affine-gap DP)

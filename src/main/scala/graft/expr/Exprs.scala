@@ -123,6 +123,25 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  /** Normalized affine-gap string distance — the String/ShortString
+    * variable comparator (`variables/string.py:70-109` binds the public
+    * `affinegap` package's `normalizedAffineGapDistance`), as a codegen'd
+    * expression so the trained featurizer stays inside whole-stage codegen
+    * (one static DP call per pair; see [[graft.texthash.AffineGap]]).
+    * Float32 DP like the reference, widened to double at the boundary. */
+  case class AffineGapNorm(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.affineGapNorm(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $K.affineGapNorm($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): AffineGapNorm =
+      copy(left = l, right = r)
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   case class Hamming64(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -164,6 +183,7 @@ object functions {
   def band_keys(c: Column, bands: Int): Column = col(BandKeys(ex(c), bands))
   def simhash64(c: Column, seed: Long = 42L): Column = col(SimHash64(ex(c), seed))
   def jaccard_sorted(a: Column, b: Column): Column = col(JaccardSorted(ex(a), ex(b)))
+  def affine_gap(a: Column, b: Column): Column = col(AffineGapNorm(ex(a), ex(b)))
   def hamming64(a: Column, b: Column): Column = col(Hamming64(ex(a), ex(b)))
   def suffix_keys(c: Column, width: Int, every: Int, seed: Long = 42L): Column =
     col(SuffixKeys(ex(c), width, every, seed))

@@ -37,4 +37,7 @@ object Kernels {
 
   def suffixKeys(s: UTF8String, w: Int, every: Int, seed: Long): ArrayData =
     new GenericArrayData(TextHash.suffixKeys(s.toString, w, every, seed))
+
+  def affineGapNorm(a: UTF8String, b: UTF8String): Double =
+    graft.texthash.AffineGap.normalizedAffineGapDistance(a.toString, b.toString).toDouble
 }

@@ -134,6 +134,47 @@ object BlockLearner {
   def conjName(parts: Vector[String]): String = parts.mkString("(", " + ", ")")
 
   /**
+   * Multi-field variant of [[learn]] — the `DataModel.predicates` surface
+   * (`datamodel.py:100-106`): every variable's predicates feed ONE set-cover
+   * search. `matches` carries `pair_id` + `<field>_1`/`<field>_2` columns;
+   * `records` carries `rid` + field columns (see [[Cover.matchCoverMulti]]).
+   * Simple candidates only — random-forest conjunctions can cross fields in
+   * the reference and the engine's compound resolution is per-field, so
+   * that mode stays on the single-field path.
+   */
+  def learnMulti(matches: DataFrame, records: DataFrame,
+                 preds: Seq[(String, NamedPredicate)], recall: Double,
+                 maxCalls: Int = 2500): Learned = {
+    val nMatches = matches.count()
+    require(nMatches > 0,
+      "You must supply at least one pair of matching records to learn blocking rules.")
+    val sampled = Cover.sampleRecords(records, SampledRecordsCap)
+    val nRecords = math.min(records.count(), SampledRecordsCap.toLong)
+
+    val zoo = preds.map(_._2)
+    val matchCover = Cover.collectMatchCover(
+      Cover.matchCoverMulti(matches, preds), zoo)
+    val comparisonCounts: Map[String, Long] =
+      Cover.comparisonCoverPairsMulti(sampled, preds, nRecords)
+        .groupBy(org.apache.spark.sql.functions.col("predicate"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cover_count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mc = matchCover.filter { case (n, _) => comparisonCounts.contains(n) }
+
+    val coverable: Set[Int] =
+      if (mc.isEmpty) Set.empty else mc.iterator.map(_._2).reduce(_ union _)
+    var target = (recall * nMatches).toInt
+    if (coverable.size < target) target = coverable.size
+
+    val candidates = mc.map { case (n, cover) =>
+      BranchAndBound.Candidate(n, cover, comparisonCounts(n))
+    }
+    searchAndWrap(mc, candidates, target, maxCalls,
+      mc.map { case (n, _) => n -> Vector(n) }.toMap)
+  }
+
+  /**
    * Record-link variant (`RecordLinkBlockLearner`, `training.py:188-266` +
    * the shared `learn`): match pairs carry one field per SIDE; comparison
    * coverage is the two-sided cross-product cover

@@ -85,13 +85,68 @@ object Cover {
       .groupBy(col("predicate"))
       .agg(count(lit(1)).as("cover_count"))
 
+  // --- multi-field variants (the DataModel surface, datamodel.py:100-106:
+  // --- predicates from EVERY variable feed one learner) -------------------
+
+  /** [[matchCover]] over multi-field labeled pairs: `pairs` carries
+    * `pair_id` plus `<field>_1` / `<field>_2` columns for every field the
+    * predicates reference. Fields ship as one array per side (nulls
+    * preserved — `NamedPredicate` maps them to no keys, the falsy-column
+    * rule). */
+  def matchCoverMulti(pairs: DataFrame, preds: Seq[(String, NamedPredicate)]): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val fields = preds.map(_._1).distinct
+    val fi = fields.zipWithIndex.toMap
+    val ps = preds.map { case (f, p) => (fi(f), p) }
+    pairs.select(col("pair_id").cast("long"),
+      array(fields.map(f => col(s"${f}_1")): _*).as("fs1"),
+      array(fields.map(f => col(s"${f}_2")): _*).as("fs2"))
+      .as[(Long, Seq[String], Seq[String])]
+      .flatMap { case (i, f1, f2) =>
+        ps.iterator.collect {
+          case (fx, p) if {
+            val k2 = p(f2(fx))
+            k2.nonEmpty && p(f1(fx)).exists(k2.contains)
+          } => (p.name, i)
+        }
+      }
+      .toDF("predicate", "pair_id")
+  }
+
+  /** [[blockRows]] over multi-field records: `records` carries `rid` plus
+    * one column per referenced field. */
+  def blockRowsMulti(records: DataFrame, preds: Seq[(String, NamedPredicate)]): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    val fields = preds.map(_._1).distinct
+    val fi = fields.zipWithIndex.toMap
+    val ps = preds.map { case (f, p) => (fi(f), p) }
+    records.select(col("rid").cast("long"),
+      array(fields.map(col): _*).as("fs"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (rid, fs) =>
+        ps.iterator.flatMap { case (fx, p) =>
+          p(fs(fx)).iterator.map(b => (p.name, b, rid))
+        }
+      }
+      .toDF("predicate", "block", "rid")
+  }
+
+  /** [[comparisonCoverPairs]] over multi-field records. */
+  def comparisonCoverPairsMulti(records: DataFrame, preds: Seq[(String, NamedPredicate)],
+                                nRecords: Long): DataFrame =
+    coverPairsFromBlockRows(blockRowsMulti(records, preds), nRecords)
+
   /** The distinct covered pairs themselves, (predicate, a, b) — the
     * long-format `comparison_cover` sets. [[comparisonCoverCounts]] is its
     * count; [[weightedPairSample]] consumes the full frame (it never leaves
     * the cluster). */
   def comparisonCoverPairs(records: DataFrame, preds: Seq[NamedPredicate],
-                           nRecords: Long): DataFrame = {
-    val br = blockRows(records, preds)
+                           nRecords: Long): DataFrame =
+    coverPairsFromBlockRows(blockRows(records, preds), nRecords)
+
+  private def coverPairsFromBlockRows(br: DataFrame, nRecords: Long): DataFrame = {
     val blockSizes = br.groupBy(col("predicate"), col("block"))
       .agg(count(lit(1)).as("sz"))
     val eligible = blockSizes.groupBy(col("predicate"))

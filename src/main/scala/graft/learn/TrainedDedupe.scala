@@ -253,6 +253,99 @@ object TrainedDedupe {
       .join(top, Seq("query_rid"), "left")
   }
 
+  // --- multi-field (DataModel) surface — the reference's actual API shape:
+  // --- a Dedupe is built from a VARIABLE LIST, not one field --------------
+
+  /**
+   * Multi-field [[train]] — `Dedupe(variables).train` (`api.py:1100-1142`)
+   * over a [[DataModel]] variable list: blocking rules from the union zoo
+   * via the multi-field set cover, classifier weights from the affine-gap /
+   * exact / missing-indicator featurizer ([[DataModel.featureColumns]]).
+   *
+   * @param labeled (pair_id, label, `<field>_1`, `<field>_2` per field)
+   * @param records (rid, field columns) corpus sample for comparison cover
+   */
+  def trainFields(labeled: DataFrame, records: DataFrame,
+                  vars: Seq[DataModel.Variable],
+                  recall: Double = 1.0): Settings = {
+    val preds = DataModel.zoo(vars)
+    val matches = labeled.filter(col("label") === 1)
+    val learned = BlockLearner.learnMulti(matches, records, preds, recall)
+
+    val feats = DataModel.featureColumns(vars,
+      f => col(s"${f}_1"), f => col(s"${f}_2"))
+      .zipWithIndex.map { case (c, i) => c.as(s"x$i") }
+    val training = labeled.select(feats :+ col("label").as("label"): _*)
+    val (x, y) = LogisticRegression.collectTraining(
+      training, feats.indices.map(i => s"x$i"), "label")
+    val (model, c) = LogisticRegression.fitCv(x, y)
+    Settings(learned.predicates, model, c)
+  }
+
+  /** Multi-field learned-predicate candidate pairs — the `Fingerprinter`
+    * loop over every variable's learned predicates, then the flagship's
+    * hot-key-capped within-key self-join. */
+  def blockPairsFields(records: DataFrame, active: Seq[(String, NamedPredicate)],
+                       cfg: DedupConfig): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    require(active.nonEmpty, "no learned predicates to block with")
+    val fields = active.map(_._1).distinct
+    val fi = fields.zipWithIndex.toMap
+    val ps = active.map { case (f, p) => (fi(f), p) }
+    val keys = records.select(col("rid").cast("long"),
+      org.apache.spark.sql.functions.array(fields.map(col): _*).as("fs"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (rid, fs) =>
+        ps.iterator.flatMap { case (fx, p) =>
+          val tag = graft.texthash.TextHash.hashString(p.name, 42L)
+          p(fs(fx)).iterator.map(k => (graft.texthash.TextHash.hashString(k, tag), rid))
+        }
+      }
+      .toDF("key", "rid")
+      .distinct()
+    Blocking.candidatePairs(keys, records.count(), cfg, idCol = "rid").pairs
+  }
+
+  /** Resolve learned predicate names back to (field, kernel) pairs against
+    * a variable list's zoo, preserving the learned order. */
+  def resolveFields(predicates: Vector[String],
+                    vars: Seq[DataModel.Variable]): Seq[(String, NamedPredicate)] = {
+    val byName = DataModel.zoo(vars).map { case (f, p) => p.name -> (f, p) }.toMap
+    predicates.map(byName)
+  }
+
+  /**
+   * Multi-field [[partition]] — `Dedupe.partition(data, threshold)` over a
+   * [[DataModel]] variable list: learned blocking on every variable's
+   * predicates, fitted-LR scores over the affine-gap featurizer, refiltered
+   * CC + centroid linkage + singletons.
+   *
+   * @param records (rid, field columns)
+   */
+  def partitionFields(records: DataFrame, vars: Seq[DataModel.Variable],
+                      settings: Settings, threshold: Double = 0.5,
+                      cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val fields = vars.map(_.field).distinct
+    val r = records.select(col("rid").cast("long").as("rid") +: fields.map(col): _*)
+    val pairs = blockPairsFields(r, resolveFields(settings.predicates, vars), cfg)
+    val aSide = r.select(col("rid").as("a") +: fields.map(f => col(f).as(s"${f}_a")): _*)
+    val bSide = r.select(col("rid").as("b") +: fields.map(f => col(f).as(s"${f}_b")): _*)
+    val scored = pairs
+      .join(aSide, Seq("a")).join(bSide, Seq("b"))
+      .select(col("a"), col("b"),
+        LogisticRegression.scoreColumn(settings.model,
+          DataModel.featureColumns(vars, f => col(s"${f}_a"), f => col(s"${f}_b")))
+          .cast("float").as("score"))
+      .filter(col("score") > 1e-6f) // predict_proba exact-zero drop analogue
+    val labeled = ConnectedComponents.withRefilter(scored, cfg.maxComponents)
+    val clustered = ClusterStage.clusterComponents(labeled, threshold, cfg.maxComponents)
+    val withSingles = ClusterStage.addSingletons(
+      r.select(col("rid").as("nid")), clustered)
+    withSingles.select(col("nid").as("rid"), col("cluster_nid").as("cluster_id"),
+      col("confidence"))
+  }
+
   /**
    * Cluster the full table under learned settings —
    * `Dedupe.partition(data, threshold)` (`api.py:151-195`): learned-

@@ -134,6 +134,73 @@ object LearnOps {
       sampleSize = 50, maxCover = n * (n - 1) / 2)
   }
 
+  /** Train learned settings on the truncation fixture — shared by the
+    * trained_link / trained_search catalog entries (same labels as
+    * [[trainedPartition]], smaller record sample for verify runtime). */
+  private def trainedSettings(s: SparkSession, dir: String): graft.learn.TrainedDedupe.Settings = {
+    val records = docs(s, dir).filter(col("doc_id") < 150)
+      .select(col("doc_id").as("rid"), col("text").as("f"))
+    val pos = matchFixture(s, dir)
+      .select(col("pair_id"), col("f1"), col("f2"), lit(1).as("label"))
+    val neg = consecutivePairs(s, dir).filter(col("pair_id") < 25)
+      .select((col("pair_id") + 1000L).as("pair_id"), col("f1"), col("f2"),
+        lit(0).as("label"))
+    graft.learn.TrainedDedupe.train(pos.unionByName(neg), records)
+  }
+
+  /** Learned-settings `RecordLink.join` (`api.py:411-520`, see
+    * [[graft.learn.TrainedDedupe.link]]) as a catalog query: left = first
+    * 150 docs, right = their truncations under shifted rids; greedy
+    * one-to-one matches above 0.5. Rows-only (set cover + IRLS); semantics
+    * spec-tested in TrainedDedupeSpec. */
+  def trainedLink(s: SparkSession, dir: String): DataFrame = {
+    val trunc = expr(
+      "array_join(slice(split(f, ' '), 1, greatest(size(split(f, ' ')) - 2, 1)), ' ')")
+    val left = docs(s, dir).filter(col("doc_id") < 150)
+      .select(col("doc_id").as("rid"), col("text").as("f"))
+    val right = left.select((col("rid") + 100000L).as("rid"), trunc.as("f"))
+    val settings = trainedSettings(s, dir)
+    graft.learn.TrainedDedupe.link(left, right, settings)
+      .select(col("rid_l"), col("rid_r"),
+        floor(col("score") * 1000000).cast("long").as("score_q"))
+  }
+
+  /** Learned-settings `Gazetteer.search` with empty-fill
+    * (`api.py:938-1024`, see [[graft.learn.TrainedDedupe.search]]) as a
+    * catalog query: index = first 150 docs, queries = truncations of docs
+    * 100-200 (half in-index, half novel → null match rows). Rows-only. */
+  def trainedSearch(s: SparkSession, dir: String): DataFrame = {
+    val trunc = expr(
+      "array_join(slice(split(f, ' '), 1, greatest(size(split(f, ' ')) - 2, 1)), ' ')")
+    val index = docs(s, dir).filter(col("doc_id") < 150)
+      .select(col("doc_id").as("rid"), col("text").as("f"))
+    val queries = docs(s, dir).filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select((col("doc_id") + 100000L).as("rid"), col("text").as("f"))
+      .select(col("rid"), trunc.as("f")) // docs 150+ are novel -> empty-fill rows
+    val settings = trainedSettings(s, dir)
+    graft.learn.TrainedDedupe.search(queries, index, settings)
+      .select(col("query_rid"), col("match_rid"),
+        floor(col("score") * 1000000).cast("long").as("score_q"))
+  }
+
+  /** The reference's own canonical benchmark through the learned loop
+    * (`benchmarks/canonical.py` — see [[graft.learn.Restaurant]]): 864
+    * restaurant records, 5-variable model, train → partition(0.5), plus
+    * the `common.py:51-81` report as columns on every row. Rows-only (set
+    * cover + IRLS + affine-gap linkage); RestaurantSpec asserts the
+    * precision/recall >= 0.9 floors. Ignores `dir` — the input is the
+    * reference's fixture, not the synthetic corpus. */
+  def trainedRestaurant(s: SparkSession, dir: String): DataFrame = {
+    val (clusters, _, rep) = graft.learn.Restaurant.run(s)
+    clusters
+      .withColumn("confidence_q", floor(col("confidence") * 10000).cast("long"))
+      .drop("confidence")
+      .withColumn("n_true", lit(rep.nTrue))
+      .withColumn("n_found", lit(rep.nFound))
+      .withColumn("precision_q", lit(math.floor(rep.precision * 10000).toLong))
+      .withColumn("recall_q", lit(math.floor(rep.recall * 10000).toLong))
+  }
+
   /** Active-learning disagreement top-k (`labeler.py:348-398` as a batch
     * ranking, see [[graft.learn.Disagreement]]): candidates scored by the
     * fixed-sigmoid classifier, "covered" = the whole-field blocking
