@@ -128,10 +128,13 @@ final case class DedupConfig(
       * becomes greatest(jaccard, lcs / min prefix length). Rescues long
       * verbatim containments whose token Jaccard is low.
       *
-      * INTERPLAY: the SimHash prefilter runs FIRST — a 25%-containment pair
-      * sits far outside the default `scoreMaxHamming`=16 radius, so an
-      * LCS-rescue config should widen it (64 disables; the containment spec
-      * in DedupPipelineSpec shows the shape). */
+      * The LCS channel gets its OWN candidates: pairs co-blocked by rare
+      * suffix-pass keys ([[Scoring.suffixCoBlockedPairs]] — the same
+      * `suffixWidth`/`suffixEvery` keys the blocking stage emits, df-capped
+      * at `hotKeyAbsCap`) enter it DIRECTLY, in union with the prefilter
+      * survivors. A 25%-containment pair sits far outside the default
+      * `scoreMaxHamming`=16 radius, and still scores under the DEFAULT
+      * radius — no global prefilter widening needed. */
     scoreLcs: Boolean = false,
     lcsWindow: Int = 6,
     /** Per-doc window-extraction bound: LCS work per doc is O(lcsPrefix)

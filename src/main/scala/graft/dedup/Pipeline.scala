@@ -161,7 +161,9 @@ object Pipeline {
     val scored = stage("scored") {
       Scoring.scorePairs(pairs, sigs, idCol = "nid", minScore = cfg.minScore,
         maxHamming = cfg.scoreMaxHamming, dedupePairs = true,
-        scoreLcs = cfg.scoreLcs, lcsWindow = cfg.lcsWindow, lcsPrefix = cfg.lcsPrefix)
+        scoreLcs = cfg.scoreLcs, lcsWindow = cfg.lcsWindow, lcsPrefix = cfg.lcsPrefix,
+        suffixWidth = cfg.suffixWidth, suffixEvery = cfg.suffixEvery,
+        seed = cfg.seed, lcsDfCap = cfg.hotKeyAbsCap)
     }
     record("scored", scored)
 

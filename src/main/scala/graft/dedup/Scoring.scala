@@ -85,11 +85,37 @@ object Scoring {
         (col("lcs_len").cast("double") / least(col("len_a"), col("len_b"))).as("lcs_norm"))
   }
 
+  /** Pairs co-blocked by RARE suffix-pass keys — the provenance the north
+    * rule assigns the LCS channel: the SAME sampled fixed-width suffix keys
+    * the blocking stage emits ([[Blocking.blockKeys]]' TagSuffix pass,
+    * `suffix_keys(text, w, every, seed)`), self-joined within key after a
+    * broadcast anti-join against keys hotter than `dfCap` (the stop-word
+    * rule — boilerplate windows generate quadratic pairs with no
+    * containment evidence). Bounded: <= dfCap · keys/doc · N pair rows
+    * before distinct, the same volume class as one blocking pass. */
+  def suffixCoBlockedPairs(texts: DataFrame, idCol: String,
+                           suffixWidth: Int, suffixEvery: Int, seed: Long,
+                           dfCap: Long): DataFrame = {
+    val sk = texts
+      .select(col(idCol).as("sid"),
+        explode(gf.suffix_keys(col("text"), suffixWidth, suffixEvery, seed)).as("wh"))
+    val hot = sk.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("wh"))
+    val kept = sk.join(broadcast(hot), Seq("wh"), "left_anti")
+    kept.as("x")
+      .join(kept.as("y"),
+        col("x.wh") === col("y.wh") && col("x.sid") < col("y.sid"))
+      .select(col("x.sid").as("a"), col("y.sid").as("b"))
+      .distinct()
+  }
+
   def scorePairs(pairs: DataFrame, sigs: DataFrame, idCol: String = "url",
                  minScore: Double = 0.0, maxHamming: Int = 64,
                  dedupePairs: Boolean = false,
                  scoreLcs: Boolean = false, lcsWindow: Int = 6,
-                 lcsPrefix: Int = 256): DataFrame = {
+                 lcsPrefix: Int = 256, lcsCoBlock: Boolean = true,
+                 suffixWidth: Int = 40, suffixEvery: Int = 20,
+                 seed: Long = 42L, lcsDfCap: Long = 50L): DataFrame = {
     val prefiltered =
       if (maxHamming >= 64 || !sigs.columns.contains("simhash")) pairs
       else {
@@ -120,18 +146,28 @@ object Scoring {
     val blended =
       if (!scoreLcs) jac.select(col("a"), col("b"), col("jac").cast("float").as("score"))
       else {
-        // LCS runs on the SAME survivor set (a superset of the suffix-pass
-        // co-blocked pairs — provenance-free but bounded); a pair's score is
-        // the stronger of its Jaccard and its normalized longest common
-        // substring, so long verbatim containments with low token overlap
-        // survive the minScore floor
+        // the LCS channel scores (prefilter survivors) ∪ (pairs co-blocked
+        // by RARE suffix-pass keys): a verbatim containment with low token
+        // overlap sits at Hamming > maxHamming, so it is NOT a survivor —
+        // its provenance is exactly the suffix pass, and it enters here
+        // WITHOUT widening the prefilter radius globally. A pair's score is
+        // the stronger of its Jaccard (survivors only) and its normalized
+        // longest common substring, so containments survive the minScore
+        // floor while the Jaccard path stays prefilter-tight.
         require(sigs.columns.contains("text"),
           "scoreLcs needs the signature table to carry the text column")
-        val lcs = lcsScores(surviving, sigs.select(col(idCol), col("text")), idCol,
-          lcsWindow, lcsPrefix)
-        jac.join(lcs, Seq("a", "b"), "left")
+        val texts = sigs.select(col(idCol), col("text"))
+        val lcsPairs =
+          if (!lcsCoBlock) surviving.select(col("a"), col("b"))
+          else surviving.select(col("a"), col("b"))
+            .unionByName(suffixCoBlockedPairs(texts, idCol,
+              suffixWidth, suffixEvery, seed, lcsDfCap))
+            // duplicates would corrupt the gaps-and-islands run counts
+            .distinct()
+        val lcs = lcsScores(lcsPairs, texts, idCol, lcsWindow, lcsPrefix)
+        jac.join(lcs, Seq("a", "b"), "full_outer")
           .select(col("a"), col("b"),
-            greatest(col("jac"), coalesce(col("lcs_norm"), lit(0.0)))
+            greatest(coalesce(col("jac"), lit(0.0)), coalesce(col("lcs_norm"), lit(0.0)))
               .cast("float").as("score"))
       }
     blended.filter(col("score") > math.max(0.0, minScore)) // zero-score drop, core.py:81-84

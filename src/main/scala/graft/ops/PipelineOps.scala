@@ -125,21 +125,40 @@ object PipelineOps {
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(1, greatest(size(t) - 2, 0)), i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
       )).as("g"))
-    // ONE cached token scan feeds both the minhash-LSH candidate stage and
-    // the simhash prefilter (this query used to re-derive each from the raw
-    // parquet — 3 independent corpus scans in a single plan). The cache is
-    // token-sized (doc_id + short string), MEMORY_AND_DISK, and lives for
-    // the session like the flagship's persisted signature table
-    // (`dedup/Pipeline.scala`) — at production scale this is the shared
-    // signature checkpoint, not a cache.
-    val tok = distinctTokens(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fp = simhash16FromTokens(tok)
-    val pairs = lshPairsFromSigs(minhashSigsFromTokens(tok))
-      .join(fp.select(col("doc_id").as("id_a"), col("simhash").as("h_a")), Seq("id_a"))
-      .join(fp.select(col("doc_id").as("id_b"), col("simhash").as("h_b")), Seq("id_b"))
-      .filter(graft.expr.functions.hamming64(col("h_a"), col("h_b")) <= NgramPrefilterHamming)
-      .select(col("id_a"), col("id_b"))
+    // ONE aggregation pass computes the 8 minhash values AND the 16 simhash
+    // vote counters as wide agg columns — the r3 shared-scan property
+    // WITHOUT the r4 persist (whose one-shot materialization cost the
+    // driver bench +20%): a single token subtree in the plan, its exchange
+    // reused across the self-join sides (ReusedExchange, plan-audited). The
+    // fingerprint then RIDES the band-key rows through the LSH self-join,
+    // so the Hamming prefilter needs no separate fingerprint joins at all.
+    val tok = distinctTokens(s, dir).withColumn("h", h60(col("tok")))
+    val mhs = (0 to 7).map(j =>
+      min(h60(concat_ws("#", col("tok"), lit(j.toString)))).as(s"mh$j"))
+    val votes = (0 to 15).map(b =>
+      sum(expr(s"((h >> $b) & 1) * 2 - 1")).as(s"v$b"))
+    val agg = tok.groupBy(col("doc_id")).agg(mhs.head, (mhs.tail ++ votes): _*)
+    val simhash = (0 to 15).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    def bandKey(band: Int) = concat_ws(",", sort_array(array(
+      (4 * band until 4 * band + 4).map(j =>
+        concat_ws(":", lit(j.toString), col(s"mh$j").cast("string"))): _*)))
+    val bandRows = agg.select(col("doc_id"), simhash.as("fp"),
+      explode(array(
+        struct(lit(0).as("band"), bandKey(0).as("bk")),
+        struct(lit(1).as("band"), bandKey(1).as("bk")))).as("s"))
+      .select(col("doc_id"), col("fp"), col("s.band").as("band"), col("s.bk").as("bk"))
+    val hot = bandRows.groupBy(col("band"), col("bk"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > LshHotKeyCap)
+      .select(col("band"), col("bk"))
+    val kept = bandRows.join(broadcast(hot), Seq("band", "bk"), "left_anti")
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(graft.expr.functions.hamming64(col("a.fp"), col("b.fp"))
+        <= NgramPrefilterHamming)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
     pairs
       .join(grams.select(col("doc_id").as("id_a"), col("g").as("g_a")), Seq("id_a"))
       .join(grams.select(col("doc_id").as("id_b"), col("g").as("g_b")), Seq("id_b"))

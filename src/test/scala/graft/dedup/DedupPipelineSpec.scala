@@ -137,6 +137,35 @@ class DedupPipelineSpec extends AnyFunSuite {
       s"expected lcs/prefix ~0.47, got ${rescued.head}")
   }
 
+  test("scoreLcs + DEFAULT maxHamming: suffix co-blocked containment scores without widening") {
+    // the round-4 gap: LCS only scored prefilter SURVIVORS, so a verbatim
+    // containment at Hamming > 16 needed a GLOBAL maxHamming widening.
+    // Round 5: rare suffix-pass co-blocked pairs feed the LCS channel
+    // directly — the same fixture now scores under scoreMaxHamming = 16.
+    val shared = (1 to 20).map(i => s"common$i").mkString(" ").take(120)
+    def tail(seed: String) = (1 to 30).map(i => s"$seed$i").mkString(" ").take(180)
+    val fixture = Seq(
+      ("u1", shared + " " + tail("alpha")),
+      ("u2", shared + " " + tail("omega"))).toDF("url", "text")
+    val sigs = Blocking.signatures(
+      fixture.select($"url", graft.expr.functions.normalize_text($"text").as("text")), cfg)
+    val fps = sigs.select($"url", $"simhash").as[(String, Long)].collect().toMap
+    assert(graft.texthash.TextHash.hamming64(fps("u1"), fps("u2")) > cfg.scoreMaxHamming,
+      "fixture must sit OUTSIDE the default prefilter radius")
+    // EMPTY candidate stream: the pair's only provenance is the suffix pass
+    val noPairs = Seq.empty[(String, String)].toDF("a", "b")
+    val rescued = Scoring.scorePairs(noPairs, sigs, minScore = cfg.minScore,
+      maxHamming = cfg.scoreMaxHamming, scoreLcs = true)
+      .select($"a", $"b", $"score").as[(String, String, Float)].collect()
+    assert(rescued.map(r => (r._1, r._2)).toSeq == Seq(("u1", "u2")),
+      s"suffix co-blocking must surface exactly the containment pair, got ${rescued.toSeq}")
+    assert(rescued.head._3 > 0.4f && rescued.head._3 < 0.6f,
+      s"expected lcs/prefix ~0.47, got ${rescued.head._3}")
+    // and with co-blocking disabled the pair is invisible (the r4 behavior)
+    assert(Scoring.scorePairs(noPairs, sigs, minScore = cfg.minScore,
+      maxHamming = cfg.scoreMaxHamming, scoreLcs = true, lcsCoBlock = false).count() === 0L)
+  }
+
   test("pipeline under scoreLcs config: recall and singleton completeness hold") {
     val lcsClusters = Pipeline.run(spark, pages, cfg.copy(scoreLcs = true))
     val n = pages.count()
