@@ -123,6 +123,7 @@ object SparkEntry {
     "trained_link" -> (LearnOps.trainedLink _), // rows-only (learned RecordLink.join)
     "trained_search" -> (LearnOps.trainedSearch _), // rows-only (learned Gazetteer.search)
     // kernel-only ops promoted to catalog rows (rows-only)
+    "score_blend_lcs" -> (PipelineOps.scoreBlendLcs _),
     "pred_metaphone_token" -> (Queries.predMetaphoneToken _), // rows-only (no DuckDB metaphone)
     "score_affine_gap" -> (Queries.scoreAffineGap _) // rows-only (affine-gap DP)
   )

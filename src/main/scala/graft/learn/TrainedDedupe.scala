@@ -102,12 +102,20 @@ object TrainedDedupe {
     settingsFromJson(json)
   }
 
-  /** The shared featurizer Columns over a pair of field values. */
+  /** The shared featurizer Columns over a pair of field values.
+    * Token arrays are distinct, so |A ∪ B| = |A| + |B| − |A ∩ B| — the
+    * union ARRAY is never materialized, and each side's tokenization
+    * appears in one `size` + one `array_intersect` (the duplicate
+    * `regexp_extract_all` trees collapse in whole-stage codegen's
+    * subexpression elimination). */
   def features(fa: Column, fb: Column): Seq[Column] = {
     def t(c: Column) = array_distinct(regexp_extract_all(c, lit("[\\w']+"), lit(0)))
+    val ta = t(fa)
+    val tb = t(fb)
+    val inter = size(array_intersect(ta, tb))
     Seq(
-      size(array_intersect(t(fa), t(fb))).cast("double") /
-        greatest(size(array_union(t(fa), t(fb))), lit(1)).cast("double"),
+      inter.cast("double") /
+        greatest(size(ta) + size(tb) - inter, lit(1)).cast("double"),
       when(fa === fb, 1.0).otherwise(0.0),
       abs(length(fa) - length(fb)).cast("double") /
         greatest(greatest(length(fa), length(fb)), lit(1)).cast("double"))

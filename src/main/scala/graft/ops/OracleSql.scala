@@ -689,6 +689,43 @@ object OracleSql {
       SELECT id_a, id_b, CAST(max(run) + 5 AS BIGINT) AS lcs_len
       FROM runs GROUP BY id_a, id_b""",
 
+    "score_blend_lcs" -> """
+      WITH d AS (SELECT doc_id, substr(text, 1, 32) AS t FROM documents
+                 WHERE len(substr(text, 1, 32)) >= 6),
+      wins AS (SELECT doc_id, s['i'] AS i, s['win'] AS win FROM
+        (SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(t) - 5, 0)),
+           i -> {'i': i, 'win': substr(t, i, 6)})) AS s FROM d)),
+      rare AS (SELECT win FROM (SELECT win, count(*) AS df FROM wins GROUP BY win)
+               WHERE df <= 50),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM wins a JOIN rare ON a.win = rare.win
+               JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id),
+      pa AS (SELECT c.id_a, c.id_b, w.i, w.win
+             FROM cand c JOIN wins w ON w.doc_id = c.id_a),
+      pr AS (SELECT pa.id_a, pa.id_b, pa.i AS i, wb.i AS j
+             FROM pa JOIN wins wb ON wb.doc_id = pa.id_b AND wb.win = pa.win),
+      r AS (SELECT id_a, id_b, i - j AS diag, i,
+              i - row_number() OVER (PARTITION BY id_a, id_b, i - j ORDER BY i) AS grp
+            FROM pr),
+      runs AS (SELECT id_a, id_b, count(*) AS run
+               FROM r GROUP BY id_a, id_b, diag, grp),
+      lcs AS (SELECT id_a, id_b, CAST(max(run) + 5 AS BIGINT) AS lcs_len
+              FROM runs GROUP BY id_a, id_b),
+      grams AS (SELECT doc_id, list_distinct(list_transform(
+                  generate_series(1, greatest(len(text) - 4, 0)),
+                  i -> substr(text, i, 5))) AS g FROM documents),
+      lens AS (SELECT doc_id, CAST(len(substr(text, 1, 32)) AS BIGINT) AS lenp
+               FROM documents)
+      SELECT l.id_a, l.id_b,
+        greatest(
+          (100000 * CAST(len(list_intersect(a.g, b.g)) AS BIGINT)) //
+            greatest(CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS BIGINT), 1),
+          (100000 * l.lcs_len) // least(la.lenp, lb.lenp)) AS blend_q
+      FROM lcs l
+      JOIN grams a ON l.id_a = a.doc_id JOIN grams b ON l.id_b = b.doc_id
+      JOIN lens la ON l.id_a = la.doc_id JOIN lens lb ON l.id_b = lb.doc_id""",
+
     // training_data_dedupe: match = within-key combinations; distinct = 500
     // hash-sampled triangular-decoded pairs minus matches (i*(b+i+2) is
     // always even so // and div agree; IEEE sqrt is correctly rounded)

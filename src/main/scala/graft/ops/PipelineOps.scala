@@ -591,6 +591,30 @@ object PipelineOps {
       .agg((max(col("run")) + lit(w - 1)).cast("long").as("lcs_len"))
   }
 
+  /** The flagship's blended score — `greatest(jaccard, lcs_norm)` on the
+    * suffix-pass candidate pairs (`dedup/Scoring.scala` scoreLcs blend) —
+    * made DuckDB-exact: char-5-gram Jaccard (the shingle role, computed on
+    * gram STRINGS so both engines agree) and LCS/min-prefix-length, both
+    * integer-quantized with `div` arithmetic (no float sums anywhere). */
+  def scoreBlendLcs(s: SparkSession, dir: String): DataFrame = {
+    val lcs = scoreLcsSuffix(s, dir)
+    val grams = docs(s, dir).select(col("doc_id"), array_distinct(expr(
+      "transform(sequence(1, greatest(length(text) - 4, 0)), i -> substring(text, i, 5))"
+    )).as("g"))
+    val lens = docs(s, dir)
+      .select(col("doc_id"), length(substring(col("text"), 1, 32)).cast("long").as("lenp"))
+    lcs
+      .join(grams.select(col("doc_id").as("id_a"), col("g").as("g_a")), Seq("id_a"))
+      .join(grams.select(col("doc_id").as("id_b"), col("g").as("g_b")), Seq("id_b"))
+      .join(lens.select(col("doc_id").as("id_a"), col("lenp").as("lenp_a")), Seq("id_a"))
+      .join(lens.select(col("doc_id").as("id_b"), col("lenp").as("lenp_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        greatest(
+          expr("(100000 * cast(size(array_intersect(g_a, g_b)) as bigint)) div " +
+            "greatest(cast(size(g_a) + size(g_b) - size(array_intersect(g_a, g_b)) as bigint), 1)"),
+          expr("(100000 * lcs_len) div least(lenp_a, lenp_b)")).as("blend_q"))
+  }
+
   /** Canonical representative per exact-dup group (rows-only: affine-gap
     * centroid is not SQL-expressible) — canonical.py:56-79 over the
     * case-variant corpus of [[dedupExact]]. */

@@ -154,4 +154,81 @@ class TrainedDedupeSpec extends AnyFunSuite {
       Vector("(firstTokenPredicate, f)"), PredicateZoo.stringPredicates("f"), cfg)
     assert(pairs.count() == 0L, "the all-covering key must be dropped by the cap")
   }
+  test("active-learning loop: uncertain_pairs -> mark_pairs -> retrain (api.py:1235-1313)") {
+    // simulated labeler over the entity ground truth: each round pops the
+    // top disagreement pair, labels it from truth, retrains — the
+    // uncertain_pairs/mark_pairs protocol with Disagreement.topK playing
+    // DisagreementLearner.pop and TrainedDedupe.train playing retrain
+    val all = entities.flatten
+    val ridOf = all.zipWithIndex.map { case (f, i) => f -> i.toLong }.toMap
+    def entityOf(rid: Long): Long = rid / 3 // 3 variants per entity, flatten order
+    val records = recordsDf.cache()
+    val cfg = graft.dedup.DedupConfig()
+
+    // candidate pool: a deterministic window of near-neighbor rid pairs
+    // (the reference samples a pool once up front, labeler.py:491-496)
+    val pool = (for {
+      i <- all.indices; j <- (i + 1) to math.min(i + 3, all.size - 1)
+    } yield (i.toLong, j.toLong)).toDF("id_a", "id_b")
+
+    def runLoop(k: Int): (Vector[(Long, Long)], Vector[Int], Vector[Double]) = {
+      // seed: one match + one distinct pair per class balance
+      var labeled = Seq(
+        (0L, all(0), all(1), 1), (1L, all(0), all(3), 0),
+        (2L, all(9), all(10), 1), (3L, all(9), all(30), 0))
+        .toDF("pair_id", "f1", "f2", "label")
+      var asked = Vector.empty[(Long, Long)]
+      var coverSizes = Vector.empty[Int]
+      var blockRecalls = Vector.empty[Double]
+      for (round <- 0 until k) {
+        val settings = TrainedDedupe.train(labeled, records)
+        val active = PredicateZoo.resolve(settings.rules, PredicateZoo.stringPredicates("f"))
+        val blocked = TrainedDedupe.blockPairsResolved(records, active, cfg)
+          .select($"a".as("id_a"), $"b".as("id_b")).withColumn("covered", lit(1))
+        // loop metrics: learned cover size + blocking recall over ALL true pairs
+        val truth = (for {
+          e <- entities.indices; i <- 0 until 3; j <- (i + 1) until 3
+        } yield (ridOf(entities(e)(i)) min ridOf(entities(e)(j)),
+                 ridOf(entities(e)(i)) max ridOf(entities(e)(j)))).toDF("id_a", "id_b")
+        blockRecalls :+= blocked.join(truth, Seq("id_a", "id_b"), "left_semi").count()
+          .toDouble / truth.count()
+        coverSizes :+= BlockLearner.learn(labeled.filter($"label" === 1)
+          .select($"pair_id", $"f1", $"f2"), records,
+          PredicateZoo.stringPredicates("f"), recall = 1.0).covered.size
+
+        val sides = records.select($"rid", $"f")
+        val askedDf = asked.toDF("id_a", "id_b")
+        val cand = pool
+          .join(askedDf, Seq("id_a", "id_b"), "left_anti")
+          .join(sides.select($"rid".as("id_a"), $"f".as("f_a")), Seq("id_a"))
+          .join(sides.select($"rid".as("id_b"), $"f".as("f_b")), Seq("id_b"))
+          .join(blocked, Seq("id_a", "id_b"), "left")
+          .select($"id_a", $"id_b",
+            LogisticRegression.scoreColumn(settings.model,
+              TrainedDedupe.features($"f_a", $"f_b")).as("score"),
+            coalesce($"covered", lit(0)).as("covered"))
+        val Array(q) = Disagreement.topK(cand, 1)
+          .select($"id_a", $"id_b").as[(Long, Long)].collect()
+        asked :+= q
+        val lbl = if (entityOf(q._1) == entityOf(q._2)) 1 else 0
+        labeled = labeled.unionByName(Seq(
+          (100L + round, all(q._1.toInt), all(q._2.toInt), lbl))
+          .toDF("pair_id", "f1", "f2", "label"))
+      }
+      (asked, coverSizes, blockRecalls)
+    }
+
+    val (asked1, covers, recalls) = runLoop(4)
+    info(s"asked: $asked1 covers: $covers blockRecall: ${recalls.map(r => f"$r%.3f")}")
+    assert(asked1.size == 4 && asked1.distinct.size == 4,
+      "each round must query a NEW pair")
+    // learned-set quality never degrades as labels accumulate
+    assert(covers.last >= covers.head, s"match cover degraded: $covers")
+    assert(recalls.last >= recalls.head - 1e-9, s"blocking recall degraded: $recalls")
+    // the protocol is deterministic end to end
+    val (asked2, _, _) = runLoop(4)
+    assert(asked2 === asked1, "active-learning transcript must be deterministic")
+    records.unpersist()
+  }
 }
+
