@@ -122,6 +122,8 @@ object SparkEntry {
     "trained_restaurant" -> (LearnOps.trainedRestaurant _), // rows-only (reference's own benchmark)
     "trained_link" -> (LearnOps.trainedLink _), // rows-only (learned RecordLink.join)
     "trained_search" -> (LearnOps.trainedSearch _), // rows-only (learned Gazetteer.search)
+    "trained_restaurant_link" -> (LearnOps.trainedRestaurantLink _), // rows-only (canonical_matching.py)
+    "trained_restaurant_gazette" -> (LearnOps.trainedRestaurantGazette _), // rows-only (canonical_gazetteer.py)
     // kernel-only ops promoted to catalog rows (rows-only)
     "score_blend_lcs" -> (PipelineOps.scoreBlendLcs _),
     "pred_metaphone_token" -> (Queries.predMetaphoneToken _), // rows-only (no DuckDB metaphone)

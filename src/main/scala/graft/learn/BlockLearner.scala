@@ -209,6 +209,40 @@ object BlockLearner {
       mc.map { case (n, _) => n -> Vector(n) }.toMap)
   }
 
+  /** Multi-field [[learnLink]] — `RecordLink(variables).train`: the union
+    * zoo of a [[DataModel]] variable list feeds the two-sided set cover.
+    * `matches` carries `pair_id` + `<field>_1`/`<field>_2`; each side
+    * carries `rid` + field columns. */
+  def learnLinkMulti(matches: DataFrame, left: DataFrame, right: DataFrame,
+                     preds: Seq[(String, NamedPredicate)], recall: Double,
+                     maxCalls: Int = 2500): Learned = {
+    val nMatches = matches.count()
+    require(nMatches > 0,
+      "You must supply at least one pair of matching records to learn blocking rules.")
+    val sl = Cover.sampleRecords(left, SampledRecordsCap)
+    val sr = Cover.sampleRecords(right, SampledRecordsCap)
+    val nL = math.min(left.count(), SampledRecordsCap.toLong)
+    val nR = math.min(right.count(), SampledRecordsCap.toLong)
+
+    val matchCover = Cover.collectMatchCover(
+      Cover.matchCoverMulti(matches, preds), preds.map(_._2))
+    val comparisonCounts: Map[String, Long] =
+      Cover.comparisonCoverCountsLinkMulti(sl, sr, preds, nL, nR).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mc = matchCover.filter { case (n, _) => comparisonCounts.contains(n) }
+
+    val coverable: Set[Int] =
+      if (mc.isEmpty) Set.empty else mc.iterator.map(_._2).reduce(_ union _)
+    var target = (recall * nMatches).toInt
+    if (coverable.size < target) target = coverable.size
+
+    val candidates = mc.map { case (n, cover) =>
+      BranchAndBound.Candidate(n, cover, comparisonCounts(n))
+    }
+    searchAndWrap(mc, candidates, target, maxCalls,
+      mc.map { case (n, _) => n -> Vector(n) }.toMap)
+  }
+
   private def searchAndWrap(mc: Vector[(String, Set[Int])],
                             candidates: Vector[BranchAndBound.Candidate],
                             target: Int, maxCalls: Int,

@@ -208,9 +208,20 @@ object Cover {
    */
   def comparisonCoverCountsLink(left: DataFrame, right: DataFrame,
                                 preds: Seq[NamedPredicate],
-                                nLeft: Long, nRight: Long): DataFrame = {
-    val bl = blockRows(left, preds)
-    val br = blockRows(right, preds)
+                                nLeft: Long, nRight: Long): DataFrame =
+    linkCoverCountsFromBlockRows(blockRows(left, preds), blockRows(right, preds),
+      nLeft, nRight)
+
+  /** Multi-field [[comparisonCoverCountsLink]] (the `RecordLink(variables)`
+    * surface): both sides carry `rid` + field columns. */
+  def comparisonCoverCountsLinkMulti(left: DataFrame, right: DataFrame,
+                                     preds: Seq[(String, NamedPredicate)],
+                                     nLeft: Long, nRight: Long): DataFrame =
+    linkCoverCountsFromBlockRows(blockRowsMulti(left, preds),
+      blockRowsMulti(right, preds), nLeft, nRight)
+
+  private def linkCoverCountsFromBlockRows(bl: DataFrame, br: DataFrame,
+                                           nLeft: Long, nRight: Long): DataFrame = {
     val sizes = bl.groupBy(col("predicate"), col("block"))
       .agg(countDistinct(col("rid")).as("n_a"))
       .join(br.groupBy(col("predicate"), col("block"))

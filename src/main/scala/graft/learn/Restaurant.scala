@@ -140,4 +140,119 @@ object Restaurant {
     val clusters = TrainedDedupe.partitionFields(records, Variables, settings, threshold)
     (clusters, settings, report(trueDupes(records), foundDupes(clusters)))
   }
+
+  // --- the RecordLink / Gazetteer benchmarks (canonical_matching.py /
+  // --- canonical_gazetteer.py): restaurant-1 (112) vs restaurant-2 (752) --
+
+  /** `canonical_matching.py:52-57`: four String variables, no Exact, no
+    * has_missing. */
+  val LinkVariables: Seq[DataModel.Variable] = Seq(
+    DataModel.Variable("name", "string"),
+    DataModel.Variable("address", "string"),
+    DataModel.Variable("cuisine", "string"),
+    DataModel.Variable("city", "string"))
+
+  /** d2 rids live at +[[LinkRidOffset]] so the two sides share one id
+    * space for reporting (each side keeps its own records). */
+  val LinkRidOffset = 1000L
+
+  private def loadSide(spark: SparkSession, resource: String, ridBase: Long): DataFrame = {
+    import spark.implicits._
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"$resource resource missing")
+    val root = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+               finally in.close()
+    val cols = Fields :+ "unique_id"
+    (0 until root.size).map { i =>
+      val raw = root.get(i).get("raw")
+      val v = cols.map(c => graft.texthash.TextHash.normalizeText(
+        if (raw.get(c).isNull) null else raw.get(c).asText))
+      (ridBase + i, v(0), v(1), v(2), v(3), v(4))
+    }.toDF("rid", "name", "address", "city", "cuisine", "unique_id")
+  }
+
+  /** The two link-benchmark sides, engine-normalized. */
+  def loadLink(spark: SparkSession): (DataFrame, DataFrame) =
+    (loadSide(spark, "/restaurant_link_1.json", 0L),
+     loadSide(spark, "/restaurant_link_2.json", LinkRidOffset))
+
+  /**
+   * `training_data_link(data_1, data_2, "unique_id", trainingSize)`
+   * (`convenience.py:219-278`): matches = cross-dataset pairs sharing the
+   * key; distinct = deterministic (A × B) grid sample minus matches.
+   * Output: (pair_id, label, `<field>_1` from d1, `<field>_2` from d2).
+   */
+  def linkLabeledPairs(d1: DataFrame, d2: DataFrame,
+                       trainingSize: Int = 5000): DataFrame = {
+    val spark = d1.sparkSession
+    val n1 = d1.count()
+    val n2 = d2.count()
+    val sideCols = (side: String, tag: String) =>
+      col(s"$side.rid").as(s"rid_$tag") +: Fields.map(f => col(s"$side.$f").as(s"${f}_$tag"))
+    val paired = (pairs: DataFrame) => pairs
+      .join(d1.as("ra"), col("a") === col("ra.rid"))
+      .join(d2.as("rb"), col("b") === col("rb.rid"))
+      .select(sideCols("ra", "1") ++ sideCols("rb", "2"): _*)
+
+    val matches = d1.as("x").join(d2.as("y"),
+      col("x.unique_id") === col("y.unique_id"))
+      .select(col("x.rid").as("a"), col("y.rid").as("b"))
+    val matched = paired(matches)
+      .select((col("rid_1") * n2 + col("rid_2")).as("pair_id"), lit(1).as("label"),
+        col("*")).drop("rid_1", "rid_2")
+
+    // deterministic randomPairsMatch analogue: md5-hashed flat grid indices
+    val ks = spark.range(trainingSize).select(
+      (conv(substring(md5(concat(lit("rl#"), col("id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % (n1 * n2)).as("k"))
+    val sampled = graft.dedup.TrainingData.decodeMatchPairs(ks, n2)
+      .select(col("i").as("a"), (col("j") + LinkRidOffset).as("b")).distinct()
+    val distinct = paired(sampled)
+      .join(matches.select(col("a").as("rid_1"), col("b").as("rid_2")),
+        Seq("rid_1", "rid_2"), "left_anti")
+      .select((col("rid_1") * n2 + col("rid_2") + lit(10000000L)).as("pair_id"),
+        lit(0).as("label"), col("*")).drop("rid_1", "rid_2")
+    matched.unionByName(distinct)
+  }
+
+  /** `canonical_matching.get_true_dupes`: groups of exactly two across the
+    * COMBINED datasets, as (min rid, max rid) pairs. */
+  def trueLinkDupes(d1: DataFrame, d2: DataFrame): DataFrame =
+    trueDupes(d1.unionByName(d2))
+
+  /** Train the link settings once (shared by the matching and gazetteer
+    * benchmarks, which use the same variables and labels). */
+  def trainLink(spark: SparkSession): (DataFrame, DataFrame, TrainedDedupe.Settings) = {
+    val (d1, d2) = loadLink(spark)
+    val settings = TrainedDedupe.trainLinkFields(
+      linkLabeledPairs(d1, d2), d1, d2, LinkVariables)
+    (d1, d2, settings)
+  }
+
+  /** `canonical_matching.py` run: join at `threshold` under `constraint`,
+    * report vs the combined ground truth. Returns (links, settings, report). */
+  def runLink(spark: SparkSession, threshold: Double = 0.5,
+              constraint: String = "one-to-one")
+      : (DataFrame, TrainedDedupe.Settings, Report) = {
+    val (d1, d2, settings) = trainLink(spark)
+    val links = TrainedDedupe.linkFields(d1, d2, LinkVariables, settings,
+      threshold, constraint)
+    val found = links.select(
+      least(col("rid_l"), col("rid_r")).as("a"),
+      greatest(col("rid_l"), col("rid_r")).as("b"))
+    (links, settings, report(trueLinkDupes(d1, d2), found))
+  }
+
+  /** `canonical_gazetteer.py` run: index restaurant-2, search restaurant-1
+    * with n_matches=1, report the non-empty matches vs ground truth. */
+  def runGazetteer(spark: SparkSession, threshold: Double = 0.5)
+      : (DataFrame, TrainedDedupe.Settings, Report) = {
+    val (d1, d2, settings) = trainLink(spark)
+    val results = TrainedDedupe.searchFields(d1, d2, LinkVariables, settings,
+      threshold, n = 1)
+    val found = results.filter(col("match_rid").isNotNull).select(
+      least(col("query_rid"), col("match_rid")).as("a"),
+      greatest(col("query_rid"), col("match_rid")).as("b"))
+    (results, settings, report(trueLinkDupes(d1, d2), found))
+  }
 }

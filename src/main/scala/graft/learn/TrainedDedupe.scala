@@ -355,6 +355,125 @@ object TrainedDedupe {
   }
 
   /**
+   * Multi-field `RecordLink(variables).train` (`api.py:411-447` over the
+   * [[DataModel]] surface): two-sided set-cover blocking rules from the
+   * union zoo, classifier from the variable featurizer.
+   * @param labeled (pair_id, label, `<field>_1`/`<field>_2` per field) —
+   *                side 1 fields from `left`, side 2 from `right`
+   */
+  def trainLinkFields(labeled: DataFrame, left: DataFrame, right: DataFrame,
+                      vars: Seq[DataModel.Variable],
+                      recall: Double = 1.0): Settings = {
+    val preds = DataModel.zoo(vars)
+    val matches = labeled.filter(col("label") === 1)
+    val learned = BlockLearner.learnLinkMulti(matches, left, right, preds, recall)
+    val feats = DataModel.featureColumns(vars,
+      f => col(s"${f}_1"), f => col(s"${f}_2"))
+      .zipWithIndex.map { case (c, i) => c.as(s"x$i") }
+    val training = labeled.select(feats :+ col("label").as("label"): _*)
+    val (x, y) = LogisticRegression.collectTraining(
+      training, feats.indices.map(i => s"x$i"), "label")
+    val (model, c) = LogisticRegression.fitCv(x, y)
+    Settings(learned.predicates, model, c)
+  }
+
+  /** Multi-field [[linkPairs]]: two-sided learned-predicate blocking over
+    * every variable's fields, keys hot on EITHER side dropped first. */
+  def linkPairsFields(left: DataFrame, right: DataFrame,
+                      active: Seq[(String, NamedPredicate)],
+                      cfg: DedupConfig): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    require(active.nonEmpty, "no learned predicates to block with")
+    val fields = active.map(_._1).distinct
+    val fi = fields.zipWithIndex.toMap
+    val ps = active.map { case (f, p) => (fi(f), p) }
+    def keysOf(df: DataFrame): DataFrame =
+      df.select(col("rid").cast("long"),
+        org.apache.spark.sql.functions.array(fields.map(col): _*).as("fs"))
+        .as[(Long, Seq[String])]
+        .flatMap { case (rid, fs) =>
+          ps.iterator.flatMap { case (fx, p) =>
+            val tag = graft.texthash.TextHash.hashString(p.name, 42L)
+            p(fs(fx)).iterator.map(k => (graft.texthash.TextHash.hashString(k, tag), rid))
+          }
+        }
+        .toDF("key", "rid").distinct()
+    val kl = keysOf(left)
+    val kr = keysOf(right)
+    val cap = Blocking.hotKeyCap(math.max(left.count(), right.count()), cfg)
+    def hotOf(k: DataFrame) = k.groupBy(col("key"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > cap).select(col("key"))
+    val hot = hotOf(kl).unionByName(hotOf(kr)).distinct()
+    kl.join(broadcast(hot), Seq("key"), "left_anti").withColumnRenamed("rid", "a")
+      .join(kr.join(broadcast(hot), Seq("key"), "left_anti")
+        .withColumnRenamed("rid", "b"), Seq("key"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Score two-sided multi-field candidate pairs with the fitted model. */
+  private def scoreLinkFields(pairs: DataFrame, left: DataFrame, right: DataFrame,
+                              vars: Seq[DataModel.Variable],
+                              settings: Settings): DataFrame = {
+    val fields = vars.map(_.field).distinct
+    val aSide = left.select(col("rid").cast("long").as("a") +:
+      fields.map(f => col(f).as(s"${f}_a")): _*)
+    val bSide = right.select(col("rid").cast("long").as("b") +:
+      fields.map(f => col(f).as(s"${f}_b")): _*)
+    pairs.join(aSide, Seq("a")).join(bSide, Seq("b"))
+      .select(col("a"), col("b"),
+        LogisticRegression.scoreColumn(settings.model,
+          DataModel.featureColumns(vars, f => col(s"${f}_a"), f => col(s"${f}_b")))
+          .as("score"))
+  }
+
+  /**
+   * Multi-field `RecordLink.join(data_1, data_2, threshold, constraint)`
+   * (`api.py:448-520`): learned two-sided blocking, fitted-LR scoring, then
+   * `"one-to-one"` greedy matching (the reference default) or
+   * `"many-to-one"` per-left top-1 (`clustering.py:299-311` semantics).
+   * @return (rid_l, rid_r, score)
+   */
+  def linkFields(left: DataFrame, right: DataFrame, vars: Seq[DataModel.Variable],
+                 settings: Settings, threshold: Double = 0.5,
+                 constraint: String = "one-to-one",
+                 cfg: DedupConfig = DedupConfig()): DataFrame = {
+    require(constraint == "one-to-one" || constraint == "many-to-one",
+      s"unknown constraint '$constraint'")
+    val pairs = linkPairsFields(left, right, resolveFields(settings.predicates, vars), cfg)
+    val scored = scoreLinkFields(pairs, left, right, vars, settings)
+    if (constraint == "many-to-one")
+      graft.dedup.Matching.gazetteTopN(scored, threshold, 1)
+        .select(col("a").as("rid_l"), col("b").as("rid_r"), col("score"))
+    else
+      graft.dedup.Matching.greedyOneToOne(
+        scored.filter(col("score") > threshold)
+          .select(col("a").cast("string").as("a"), col("b").cast("string").as("b"),
+            col("score")))
+        .select(col("a").cast("long").as("rid_l"), col("b").cast("long").as("rid_r"),
+          col("score"))
+  }
+
+  /**
+   * Multi-field `Gazetteer.search(messy, n_matches)` with empty-fill
+   * (`api.py:938-1024`): top-n indexed matches above threshold per query;
+   * every query surfaces (unmatched → null match/score row).
+   * @return (query_rid, match_rid, score)
+   */
+  def searchFields(queries: DataFrame, index: DataFrame,
+                   vars: Seq[DataModel.Variable], settings: Settings,
+                   threshold: Double = 0.5, n: Int = 1,
+                   cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val pairs = linkPairsFields(queries, index, resolveFields(settings.predicates, vars), cfg)
+    val top = graft.dedup.Matching.gazetteTopN(
+      scoreLinkFields(pairs, queries, index, vars, settings), threshold, n)
+      .select(col("a").as("query_rid"), col("b").as("match_rid"), col("score"))
+    queries.select(col("rid").cast("long").as("query_rid")).distinct()
+      .join(top, Seq("query_rid"), "left")
+  }
+
+  /**
    * Cluster the full table under learned settings —
    * `Dedupe.partition(data, threshold)` (`api.py:151-195`): learned-
    * predicate blocking → fitted-LR pair scores (score > 0 kept, the

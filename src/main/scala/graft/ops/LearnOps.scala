@@ -201,6 +201,32 @@ object LearnOps {
       .withColumn("recall_q", lit(math.floor(rep.recall * 10000).toLong))
   }
 
+  /** The reference's RecordLink benchmark (`benchmarks/canonical_matching
+    * .py` — see [[graft.learn.Restaurant.runLink]]): restaurant-1 ×
+    * restaurant-2, learned two-sided blocking, one-to-one join at 0.5, with
+    * the report as columns. Rows-only; RestaurantLinkSpec asserts the
+    * >= 0.9 floors (measured precision 0.9903 / recall 0.9107). */
+  def trainedRestaurantLink(s: SparkSession, dir: String): DataFrame = {
+    val (links, _, rep) = graft.learn.Restaurant.runLink(s)
+    links.withColumn("score_q", floor(col("score") * 10000).cast("long"))
+      .drop("score")
+      .withColumn("n_true", lit(rep.nTrue))
+      .withColumn("precision_q", lit(math.floor(rep.precision * 10000).toLong))
+      .withColumn("recall_q", lit(math.floor(rep.recall * 10000).toLong))
+  }
+
+  /** The reference's Gazetteer benchmark (`benchmarks/canonical_gazetteer
+    * .py` — see [[graft.learn.Restaurant.runGazetteer]]): index
+    * restaurant-2, search restaurant-1 n_matches=1 with empty-fill.
+    * Rows-only; same spec floors. */
+  def trainedRestaurantGazette(s: SparkSession, dir: String): DataFrame = {
+    val (results, _, rep) = graft.learn.Restaurant.runGazetteer(s)
+    results.withColumn("score_q", floor(col("score") * 10000).cast("long"))
+      .drop("score")
+      .withColumn("precision_q", lit(math.floor(rep.precision * 10000).toLong))
+      .withColumn("recall_q", lit(math.floor(rep.recall * 10000).toLong))
+  }
+
   /** Active-learning disagreement top-k (`labeler.py:348-398` as a batch
     * ranking, see [[graft.learn.Disagreement]]): candidates scored by the
     * fixed-sigmoid classifier, "covered" = the whole-field blocking

@@ -28,12 +28,22 @@ def pre_process(column):
     return column
 
 
-rows = []
-with open(SRC) as f:
-    for row in csv.DictReader(f):
-        # raw DictReader values + the executed-reference pre_process output,
-        # so the Scala side can assert normalizeText parity on all 4320 cells
-        rows.append({"raw": row, "clean": {k: pre_process(v) for k, v in row.items()}})
-json.dump(rows, open(DST, "w"), ensure_ascii=False)
-print(f"{len(rows)} rows -> {DST}")
-print(json.dumps(rows[0], ensure_ascii=False))
+def dump(src, dst):
+    rows = []
+    with open(src) as f:
+        for row in csv.DictReader(f):
+            # raw DictReader values + the executed-reference pre_process
+            # output, so the Scala side can assert normalizeText parity on
+            # every cell
+            rows.append({"raw": row,
+                         "clean": {k: pre_process(v) for k, v in row.items()}})
+    json.dump(rows, open(dst, "w"), ensure_ascii=False)
+    print(f"{len(rows)} rows -> {dst}")
+
+
+dump(SRC, DST)
+
+# the RecordLink / Gazetteer benchmark datasets (canonical_matching.py:24-25)
+D = "/root/reference/benchmarks/benchmarks/datasets"
+dump(f"{D}/restaurant-1.csv", "/root/repo/src/main/resources/restaurant_link_1.json")
+dump(f"{D}/restaurant-2.csv", "/root/repo/src/main/resources/restaurant_link_2.json")
