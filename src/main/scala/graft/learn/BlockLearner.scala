@@ -144,18 +144,24 @@ object BlockLearner {
    */
   def learnMulti(matches: DataFrame, records: DataFrame,
                  preds: Seq[(String, NamedPredicate)], recall: Double,
-                 maxCalls: Int = 2500): Learned = {
+                 maxCalls: Int = 2500,
+                 candidateTypes: String = "simple", rfSeed: Long = 42L,
+                 maxCollectedPairs: Long = 20000000L): Learned = {
     val nMatches = matches.count()
     require(nMatches > 0,
       "You must supply at least one pair of matching records to learn blocking rules.")
+    require(candidateTypes == "simple" || candidateTypes == "random forest",
+      "candidate_type is not valid")
     val sampled = Cover.sampleRecords(records, SampledRecordsCap)
     val nRecords = math.min(records.count(), SampledRecordsCap.toLong)
 
     val zoo = preds.map(_._2)
     val matchCover = Cover.collectMatchCover(
       Cover.matchCoverMulti(matches, preds), zoo)
+    val coverPairs = Cover.comparisonCoverPairsMulti(sampled, preds, nRecords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comparisonCounts: Map[String, Long] =
-      Cover.comparisonCoverPairsMulti(sampled, preds, nRecords)
+      coverPairs
         .groupBy(org.apache.spark.sql.functions.col("predicate"))
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("cover_count"))
@@ -167,11 +173,45 @@ object BlockLearner {
     var target = (recall * nMatches).toInt
     if (coverable.size < target) target = coverable.size
 
-    val candidates = mc.map { case (n, cover) =>
+    val simple = mc.map { case (n, cover) =>
       BranchAndBound.Candidate(n, cover, comparisonCounts(n))
     }
-    searchAndWrap(mc, candidates, target, maxCalls,
-      mc.map { case (n, _) => n -> Vector(n) }.toMap)
+    val partsOf = scala.collection.mutable.Map.empty[String, Vector[String]]
+    mc.foreach { case (n, _) => partsOf(n) = Vector(n) }
+
+    // random-forest conjunctions across the UNION zoo — conjunction parts
+    // can come from DIFFERENT fields (the reference's CompoundPredicate is
+    // field-agnostic; TrainedDedupe.BoundRule binds each part to its own
+    // field at blocking time)
+    val k = math.max(math.floor(math.log10(nMatches.toDouble)).toInt, 1)
+    val candidates =
+      if (candidateTypes != "random forest" || k <= 1) simple
+      else {
+        val mcNames = mc.map(_._1).toSet
+        val toCollect = mcNames.iterator.map(n => comparisonCounts.getOrElse(n, 0L)).sum
+        require(toCollect <= maxCollectedPairs,
+          s"random-forest mode would collect $toCollect covered pairs across " +
+            s"${mcNames.size} predicates (cap $maxCollectedPairs, ~8 bytes/pair " +
+            "on the driver); lower the record sample or drop broad predicates")
+        val spark = coverPairs.sparkSession
+        import spark.implicits._
+        val cmpSets: Map[String, Set[Long]] = coverPairs
+          .filter(org.apache.spark.sql.functions.col("predicate")
+            .isin(mcNames.toSeq: _*))
+          .as[(String, Long, Long)]
+          .map { case (p, a, b) =>
+            (p, graft.texthash.TextHash.mix64(graft.texthash.TextHash.mix64(a) ^ b))
+          }
+          .collect()
+          .groupBy(_._1).map { case (p, xs) => p -> xs.iterator.map(_._2).toSet }
+        val conj = RandomForest.candidates(mc, cmpSets, k, seed = rfSeed)
+          .filter(_.parts.size > 1)
+        conj.foreach { c => partsOf(conjName(c.parts)) = c.parts }
+        simple ++ conj.map(c =>
+          BranchAndBound.Candidate(conjName(c.parts), c.cover, c.coverCount))
+      }
+    coverPairs.unpersist(false)
+    searchAndWrap(mc, candidates, target, maxCalls, partsOf.toMap)
   }
 
   /**

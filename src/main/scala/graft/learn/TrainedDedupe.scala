@@ -275,10 +275,12 @@ object TrainedDedupe {
    */
   def trainFields(labeled: DataFrame, records: DataFrame,
                   vars: Seq[DataModel.Variable],
-                  recall: Double = 1.0): Settings = {
+                  recall: Double = 1.0,
+                  candidateTypes: String = "simple"): Settings = {
     val preds = DataModel.zoo(vars)
     val matches = labeled.filter(col("label") === 1)
-    val learned = BlockLearner.learnMulti(matches, records, preds, recall)
+    val learned = BlockLearner.learnMulti(matches, records, preds, recall,
+      candidateTypes = candidateTypes)
 
     val feats = DataModel.featureColumns(vars,
       f => col(s"${f}_1"), f => col(s"${f}_2"))
@@ -287,27 +289,53 @@ object TrainedDedupe {
     val (x, y) = LogisticRegression.collectTraining(
       training, feats.indices.map(i => s"x$i"), "label")
     val (model, c) = LogisticRegression.fitCv(x, y)
-    Settings(learned.predicates, model, c)
+    Settings(learned.predicates, model, c, learned.conjunctions)
   }
 
-  /** Multi-field learned-predicate candidate pairs — the `Fingerprinter`
-    * loop over every variable's learned predicates, then the flagship's
-    * hot-key-capped within-key self-join. */
-  def blockPairsFields(records: DataFrame, active: Seq[(String, NamedPredicate)],
+  /**
+   * One learned rule resolved against a variable zoo: parts bound to THEIR
+   * OWN fields — the `CompoundPredicate` record semantics
+   * (`predicates.py:344-375`: each part pulls its own `record[field]`, keys
+   * are the ':'-escaped cross product). Single-part rules are the common
+   * case; multi-part rules come from random-forest conjunctions, which CAN
+   * cross fields (e.g. firstToken(name) + firstToken(city)).
+   */
+  final case class BoundRule(parts: Vector[(String, NamedPredicate)]) {
+    def name: String =
+      if (parts.size == 1) parts.head._2.name
+      else BlockLearner.conjName(parts.map(_._2.name))
+    def fields: Seq[String] = parts.map(_._1)
+    /** Keys over the record's field values (by the caller's field lookup).
+      * Mirrors [[NamedPredicate.compound]]: any part with no keys empties
+      * the product, like `itertools.product`. */
+    def keys(fieldValue: String => String): Set[String] =
+      if (parts.size == 1) parts.head._2(fieldValue(parts.head._1))
+      else parts
+        .map { case (f, p) => p(fieldValue(f)).toSeq.sorted }
+        .foldLeft(Seq(Seq.empty[String])) {
+          (acc, ks) => for { pre <- acc; k <- ks } yield pre :+ k
+        }
+        .map(_.map(_.replace(":", "\\:")).mkString(":")).toSet
+  }
+
+  /** Multi-field learned-rule candidate pairs — the `Fingerprinter` loop
+    * over every learned rule (incl. cross-field conjunctions), then the
+    * flagship's hot-key-capped within-key self-join. */
+  def blockPairsFields(records: DataFrame, active: Seq[BoundRule],
                        cfg: DedupConfig): DataFrame = {
     val spark = records.sparkSession
     import spark.implicits._
     require(active.nonEmpty, "no learned predicates to block with")
-    val fields = active.map(_._1).distinct
+    val fields = active.flatMap(_.fields).distinct
     val fi = fields.zipWithIndex.toMap
-    val ps = active.map { case (f, p) => (fi(f), p) }
     val keys = records.select(col("rid").cast("long"),
       org.apache.spark.sql.functions.array(fields.map(col): _*).as("fs"))
       .as[(Long, Seq[String])]
       .flatMap { case (rid, fs) =>
-        ps.iterator.flatMap { case (fx, p) =>
-          val tag = graft.texthash.TextHash.hashString(p.name, 42L)
-          p(fs(fx)).iterator.map(k => (graft.texthash.TextHash.hashString(k, tag), rid))
+        active.iterator.flatMap { r =>
+          val tag = graft.texthash.TextHash.hashString(r.name, 42L)
+          r.keys(f => fs(fi(f))).iterator
+            .map(k => (graft.texthash.TextHash.hashString(k, tag), rid))
         }
       }
       .toDF("key", "rid")
@@ -315,12 +343,13 @@ object TrainedDedupe {
     Blocking.candidatePairs(keys, records.count(), cfg, idCol = "rid").pairs
   }
 
-  /** Resolve learned predicate names back to (field, kernel) pairs against
-    * a variable list's zoo, preserving the learned order. */
-  def resolveFields(predicates: Vector[String],
-                    vars: Seq[DataModel.Variable]): Seq[(String, NamedPredicate)] = {
+  /** Resolve learned rules (from [[Settings.rules]]) against a variable
+    * list's zoo, preserving the learned order; multi-part rules bind each
+    * part to its own field. */
+  def resolveFields(rules: Vector[Vector[String]],
+                    vars: Seq[DataModel.Variable]): Seq[BoundRule] = {
     val byName = DataModel.zoo(vars).map { case (f, p) => p.name -> (f, p) }.toMap
-    predicates.map(byName)
+    rules.map(parts => BoundRule(parts.map(byName)))
   }
 
   /**
@@ -336,7 +365,7 @@ object TrainedDedupe {
                       cfg: DedupConfig = DedupConfig()): DataFrame = {
     val fields = vars.map(_.field).distinct
     val r = records.select(col("rid").cast("long").as("rid") +: fields.map(col): _*)
-    val pairs = blockPairsFields(r, resolveFields(settings.predicates, vars), cfg)
+    val pairs = blockPairsFields(r, resolveFields(settings.rules, vars), cfg)
     val aSide = r.select(col("rid").as("a") +: fields.map(f => col(f).as(s"${f}_a")): _*)
     val bSide = r.select(col("rid").as("b") +: fields.map(f => col(f).as(s"${f}_b")): _*)
     val scored = pairs
@@ -374,28 +403,28 @@ object TrainedDedupe {
     val (x, y) = LogisticRegression.collectTraining(
       training, feats.indices.map(i => s"x$i"), "label")
     val (model, c) = LogisticRegression.fitCv(x, y)
-    Settings(learned.predicates, model, c)
+    Settings(learned.predicates, model, c, learned.conjunctions)
   }
 
-  /** Multi-field [[linkPairs]]: two-sided learned-predicate blocking over
-    * every variable's fields, keys hot on EITHER side dropped first. */
+  /** Multi-field [[linkPairs]]: two-sided learned-rule blocking over every
+    * variable's fields, keys hot on EITHER side dropped first. */
   def linkPairsFields(left: DataFrame, right: DataFrame,
-                      active: Seq[(String, NamedPredicate)],
+                      active: Seq[BoundRule],
                       cfg: DedupConfig): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
     require(active.nonEmpty, "no learned predicates to block with")
-    val fields = active.map(_._1).distinct
+    val fields = active.flatMap(_.fields).distinct
     val fi = fields.zipWithIndex.toMap
-    val ps = active.map { case (f, p) => (fi(f), p) }
     def keysOf(df: DataFrame): DataFrame =
       df.select(col("rid").cast("long"),
         org.apache.spark.sql.functions.array(fields.map(col): _*).as("fs"))
         .as[(Long, Seq[String])]
         .flatMap { case (rid, fs) =>
-          ps.iterator.flatMap { case (fx, p) =>
-            val tag = graft.texthash.TextHash.hashString(p.name, 42L)
-            p(fs(fx)).iterator.map(k => (graft.texthash.TextHash.hashString(k, tag), rid))
+          active.iterator.flatMap { r =>
+            val tag = graft.texthash.TextHash.hashString(r.name, 42L)
+            r.keys(f => fs(fi(f))).iterator
+              .map(k => (graft.texthash.TextHash.hashString(k, tag), rid))
           }
         }
         .toDF("key", "rid").distinct()
@@ -441,7 +470,7 @@ object TrainedDedupe {
                  cfg: DedupConfig = DedupConfig()): DataFrame = {
     require(constraint == "one-to-one" || constraint == "many-to-one",
       s"unknown constraint '$constraint'")
-    val pairs = linkPairsFields(left, right, resolveFields(settings.predicates, vars), cfg)
+    val pairs = linkPairsFields(left, right, resolveFields(settings.rules, vars), cfg)
     val scored = scoreLinkFields(pairs, left, right, vars, settings)
     if (constraint == "many-to-one")
       graft.dedup.Matching.gazetteTopN(scored, threshold, 1)
@@ -465,7 +494,7 @@ object TrainedDedupe {
                    vars: Seq[DataModel.Variable], settings: Settings,
                    threshold: Double = 0.5, n: Int = 1,
                    cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val pairs = linkPairsFields(queries, index, resolveFields(settings.predicates, vars), cfg)
+    val pairs = linkPairsFields(queries, index, resolveFields(settings.rules, vars), cfg)
     val top = graft.dedup.Matching.gazetteTopN(
       scoreLinkFields(pairs, queries, index, vars, settings), threshold, n)
       .select(col("a").as("query_rid"), col("b").as("match_rid"), col("score"))

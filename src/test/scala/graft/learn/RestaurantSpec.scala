@@ -69,6 +69,54 @@ class RestaurantSpec extends AnyFunSuite {
       s"name affine-gap weight ${settings.model.weights(0)}")
   }
 
+  test("canonical benchmark under candidate_types=random forest (the labeler's own mode)") {
+    // labeler.py:140: the reference's active learner learns with
+    // random-forest conjunction candidates — cross-FIELD conjunctions
+    // included (CompoundPredicate is field-agnostic; BoundRule binds each
+    // part to its own field at blocking time)
+    val records = Restaurant.load(spark)
+    val labeled = Restaurant.labeledPairs(records)
+    val settings = TrainedDedupe.trainFields(labeled, records, Restaurant.Variables,
+      candidateTypes = "random forest")
+    info(s"rf rules: ${settings.rules.map(_.mkString(" + ")).mkString(" | ")}")
+    val clusters = TrainedDedupe.partitionFields(records, Restaurant.Variables, settings)
+    val rep = Restaurant.report(Restaurant.trueDupes(records),
+      Restaurant.foundDupes(clusters))
+    info(f"rf report: nFound=${rep.nFound} precision=${rep.precision}%.4f recall=${rep.recall}%.4f")
+    assert(rep.precision >= 0.9, f"precision ${rep.precision}%.4f")
+    assert(rep.recall >= 0.9, f"recall ${rep.recall}%.4f")
+    // determinism holds in rf mode too
+    val again = TrainedDedupe.trainFields(labeled, records, Restaurant.Variables,
+      candidateTypes = "random forest")
+    assert(again.toJson === settings.toJson)
+  }
+
+  test("cross-field conjunction rule blocks on the key product of BOTH fields") {
+    val s = spark; import s.implicits._
+    val vars = Seq(DataModel.Variable("name", "string"),
+      DataModel.Variable("city", "string"))
+    val zoo = DataModel.zoo(vars).map { case (f, p) => p.name -> (f, p) }.toMap
+    val rule = TrainedDedupe.BoundRule(Vector(
+      zoo("(firstTokenPredicate, name)"), zoo("(firstTokenPredicate, city)")))
+    // same name token + same city token -> co-blocked
+    val records = Seq(
+      (0L, "alpha grill", "springfield east"),
+      (1L, "alpha bistro", "springfield west"), // same name+city tokens -> pair
+      (2L, "alpha cafe", "shelbyville"), // same name, different city -> no pair
+      (3L, "omega grill", "springfield south")) // same city, different name -> no pair
+      .toDF("rid", "name", "city")
+    val pairs = TrainedDedupe.blockPairsFields(records, Seq(rule),
+      graft.dedup.DedupConfig())
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)),
+      s"conjunction must require BOTH fields to share a key, got $pairs")
+    // kernel product: ':' in the raw field is PUNCTUATION-STRIPPED by the
+    // StringPredicate preprocessing before the kernel runs (so no escape
+    // fires here — escaping applies to keys that still carry ':')
+    assert(rule.keys(Map("name" -> "a:b c", "city" -> "x y").apply)
+      === Set("ab:x"))
+  }
+
   test("benchmark run is deterministic (settings bit-identical across runs)") {
     val records = Restaurant.load(spark)
     val labeled = Restaurant.labeledPairs(records)
