@@ -133,6 +133,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"LCS hot-window drop is not a broadcast anti-join:\n$lcs")
   }
 
+  test("scoreLcs co-blocking (r5): bounded suffix self-join, no all-pairs, hot drop is anti-join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id".cast("string").as("url"),
+        graft.expr.functions.normalize_text($"text").as("text"))
+    val sigs = Blocking.signatures(docs, DedupConfig())
+    val noPairs = Seq.empty[(String, String)].toDF("a", "b")
+    val q = Scoring.scorePairs(noPairs, sigs, minScore = 0.3, maxHamming = 16,
+      scoreLcs = true)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join leaked into the LCS co-blocking plan:\n${plan.take(4000)}")
+    assert(plan.contains("LeftAnti"),
+      s"suffix hot-key drop missing from the co-blocking plan:\n${plan.take(4000)}")
+  }
+
   test("CC distributed loop uses reliable checkpoints when a checkpoint dir is set") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)

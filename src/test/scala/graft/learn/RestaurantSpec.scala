@@ -124,4 +124,22 @@ class RestaurantSpec extends AnyFunSuite {
     val s2 = TrainedDedupe.trainFields(labeled, records, Restaurant.Variables)
     assert(s1.toJson === s2.toJson)
   }
+
+  test("StaticDedupe path: reloaded settings partition identically (use_settings=True)") {
+    // canonical.py:36-39: the benchmark's settings-file branch — train once,
+    // StaticDedupe forever. The multi-field settings round-trip through the
+    // JSON file bit-exactly and the reloaded partition is identical.
+    val records = Restaurant.load(spark)
+    val settings = TrainedDedupe.trainFields(
+      Restaurant.labeledPairs(records), records, Restaurant.Variables)
+    val path = "/tmp/graft_restaurant_settings.json"
+    TrainedDedupe.writeSettings(spark, path, settings)
+    val reloaded = TrainedDedupe.readSettings(spark, path)
+    assert(reloaded.toJson === settings.toJson)
+    val p1 = TrainedDedupe.partitionFields(records, Restaurant.Variables, settings)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p2 = TrainedDedupe.partitionFields(records, Restaurant.Variables, reloaded)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 === p2)
+  }
 }
