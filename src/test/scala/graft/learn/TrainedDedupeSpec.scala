@@ -154,6 +154,40 @@ class TrainedDedupeSpec extends AnyFunSuite {
       Vector("(firstTokenPredicate, f)"), PredicateZoo.stringPredicates("f"), cfg)
     assert(pairs.count() == 0L, "the all-covering key must be dropped by the cap")
   }
+  test("ActiveLearner facade: the uncertain_pairs/mark_pairs API replays the loop") {
+    val all = entities.flatten
+    val pool = (for {
+      i <- all.indices; j <- (i + 1) to math.min(i + 3, all.size - 1)
+    } yield (i.toLong, j.toLong)).toDF("id_a", "id_b")
+    def session(): ActiveLearner = {
+      val al = new ActiveLearner(recordsDf, pool)
+      al.markPair(0L, 1L, 1); al.markPair(0L, 3L, 0)
+      al.markPair(9L, 10L, 1); al.markPair(9L, 30L, 0)
+      al
+    }
+    val al = session()
+    var asked = Vector.empty[(Long, Long)]
+    for (_ <- 0 until 3) {
+      val Seq(q) = al.uncertainPairs(1)
+      asked :+= q
+      al.markPair(q._1, q._2, if (q._1 / 3 == q._2 / 3) 1 else 0)
+    }
+    assert(asked.distinct.size === 3, s"repeat query: $asked")
+    assert(al.labeledCount._1 + al.labeledCount._2 === 7)
+    // the protocol is deterministic across sessions
+    val al2 = session()
+    var asked2 = Vector.empty[(Long, Long)]
+    for (_ <- 0 until 3) {
+      val Seq(q) = al2.uncertainPairs(1)
+      asked2 :+= q
+      al2.markPair(q._1, q._2, if (q._1 / 3 == q._2 / 3) 1 else 0)
+    }
+    assert(asked2 === asked)
+    // the final settings train and partition cleanly
+    val out = TrainedDedupe.partition(recordsDf, al.train())
+    assert(out.count() === all.size.toLong)
+  }
+
   test("active-learning loop: uncertain_pairs -> mark_pairs -> retrain (api.py:1235-1313)") {
     // simulated labeler over the entity ground truth: each round pops the
     // top disagreement pair, labels it from truth, retrains — the
