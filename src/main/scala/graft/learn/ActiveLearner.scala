@@ -34,6 +34,11 @@ final class ActiveLearner(records: DataFrame, pool: DataFrame,
   import spark.implicits._
 
   private var labels = Vector.empty[(Long, Long, Int)] // (id_a, id_b, label)
+  // pairs already handed out by uncertainPairs — the reference POPS a
+  // served pair out of its candidate pool whether or not it ever gets
+  // marked (`labeler.py:396-404`), so a front-end that buffers or skips a
+  // pair must not be offered it again
+  private var served = Set.empty[(Long, Long)]
   private var nextId = 0L
 
   /** `mark_pairs` (`api.py:1263-1287`): record a labeled pair. */
@@ -44,6 +49,13 @@ final class ActiveLearner(records: DataFrame, pool: DataFrame,
 
   def labeledCount: (Int, Int) =
     (labels.count(_._3 == 1), labels.count(_._3 == 0))
+
+  /** Field values for the records a front-end is about to show
+    * (`convenience.py:158-162` prints `field : value` per record). */
+  def recordValues(ids: Seq[Long]): Map[Long, String] =
+    records.select(col("rid").cast("long"), col("f"))
+      .filter(col("rid").isin(ids: _*))
+      .as[(Long, String)].collect().toMap
 
   /** The labeled frame in [[TrainedDedupe.train]]'s shape — field values
     * joined IN the cluster (the driver only ever holds the label ids). */
@@ -73,7 +85,8 @@ final class ActiveLearner(records: DataFrame, pool: DataFrame,
     val active = PredicateZoo.resolve(settings.rules, zoo)
     val blocked = TrainedDedupe.blockPairsResolved(records, active, cfg)
       .select(col("a").as("id_a"), col("b").as("id_b"), lit(1).as("cov"))
-    val asked = labels.map(p => (p._1, p._2)).toDF("id_a", "id_b")
+    val asked = (labels.map(p => (p._1, p._2)) ++ served).distinct
+      .toDF("id_a", "id_b")
     val sides = records.select(col("rid").cast("long"), col("f"))
     val cand = pool
       .join(asked, Seq("id_a", "id_b"), "left_anti")
@@ -84,7 +97,9 @@ final class ActiveLearner(records: DataFrame, pool: DataFrame,
         LogisticRegression.scoreColumn(settings.model,
           TrainedDedupe.features(col("f_a"), col("f_b"))).as("score"),
         coalesce(col("cov"), lit(0)).as("covered"))
-    Disagreement.topK(cand, k)
+    val out = Disagreement.topK(cand, k)
       .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSeq
+    served ++= out
+    out
   }
 }

@@ -581,14 +581,27 @@ object PipelineOps {
       .join(wins.select(col("doc_id").as("id_b"), col("i").as("j"), col("win")),
         Seq("id_b", "win"))
       .select(col("id_a"), col("id_b"), col("i"), col("j"))
-    val byDiag = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_a"), col("id_b"), col("diag")).orderBy(col("i"))
+    // gaps-and-islands in ONE shuffle: per pair, walk the (diag, i) match
+    // points in sorted order and keep the longest same-diag consecutive-i
+    // run (a window + two groupBys cost three shuffles for the same answer;
+    // per-pair point counts are bounded by the 27-window prefix, so the
+    // collected list stays tiny)
     pr.withColumn("diag", col("i") - col("j"))
-      .withColumn("grp", col("i") - row_number().over(byDiag))
-      .groupBy(col("id_a"), col("id_b"), col("diag"), col("grp"))
-      .agg(count(lit(1)).as("run"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg((max(col("run")) + lit(w - 1)).cast("long").as("lcs_len"))
+      .agg(collect_list(struct(col("diag"), col("i"))).as("pts"))
+      .select(col("id_a"), col("id_b"), expr(s"""
+        aggregate(
+          array_sort(pts),
+          named_struct('pd', -2147483648, 'pi', -2147483648,
+                       'run', cast(0 as bigint), 'best', cast(0 as bigint)),
+          (acc, x) -> named_struct(
+            'pd', x.diag, 'pi', x.i,
+            'run', CASE WHEN x.diag = acc.pd AND x.i = acc.pi + 1
+                        THEN acc.run + cast(1 as bigint) ELSE cast(1 as bigint) END,
+            'best', greatest(acc.best,
+              CASE WHEN x.diag = acc.pd AND x.i = acc.pi + 1
+                   THEN acc.run + cast(1 as bigint) ELSE cast(1 as bigint) END)),
+          acc -> acc.best + cast(${w - 1} as bigint))""").as("lcs_len"))
   }
 
   /** The flagship's blended score — `greatest(jaccard, lcs_norm)` on the

@@ -264,5 +264,57 @@ class TrainedDedupeSpec extends AnyFunSuite {
     assert(asked2 === asked1, "active-learning transcript must be deterministic")
     records.unpersist()
   }
+
+  test("console_label loop: y/n/u/f/p command semantics (convenience.py:122-199)") {
+    val all = entities.flatten
+    val pool = (for {
+      i <- all.indices; j <- (i + 1) to math.min(i + 3, all.size - 1)
+    } yield (i.toLong, j.toLong)).toDF("id_a", "id_b")
+    def session(): ActiveLearner = {
+      val al = new ActiveLearner(recordsDf, pool)
+      al.markPair(0L, 1L, 1); al.markPair(0L, 3L, 0)
+      al.markPair(9L, 10L, 1); al.markPair(9L, 30L, 0)
+      al
+    }
+    // x: invalid (re-prompt, consumes nothing) | y: match | p: undo it |
+    // zzz: invalid | n: relabel distinct | u: unsure next pair | f: finish
+    val script = Seq("x", "y", "p", "zzz", "n", "u", "f")
+    def drive(): (ActiveLearner, Int, Vector[String]) = {
+      val al = session()
+      var transcript = Vector.empty[String]
+      val n = ConsoleLabel.run(al, script.iterator, transcript :+= _)
+      (al, n, transcript)
+    }
+    val (al, committed, t) = drive()
+
+    // commits: undo-then-n pair as distinct (1) + unsure pair as both (2)
+    assert(committed === 3)
+    assert(al.labeledCount === ((3, 4)), "seeds (2,2) + distinct + unsure-both")
+    // five pairs shown: served, undo re-show, queued re-show, fresh, final
+    assert(t.count(_ == "Do these records refer to the same thing?") === 5)
+    // the undo decremented the shown count back to the seed state
+    assert(t.count(_ == "2/10 positive, 2/10 negative") >= 2)
+    assert(t.contains("3/10 positive, 2/10 negative"), "y incremented the display")
+    // (p)revious is offered exactly when the one-deep buffer is non-empty
+    assert(t.contains("(y)es / (n)o / (u)nsure / (f)inished / (p)revious"))
+    assert(t.count(_ == "(y)es / (n)o / (u)nsure / (f)inished") >= 2)
+    assert(t.last === "Finished labeling")
+    assert(t.exists(_.startsWith("f : entity")), "record fields displayed")
+    // served pairs never come back even if unmarked (labeler.py:396-404
+    // pool pop): two asks without any marking are disjoint
+    val alServe = session()
+    val first = alServe.uncertainPairs(2).toSet
+    assert(first.nonEmpty)
+    assert(alServe.uncertainPairs(2).toSet.intersect(first).isEmpty)
+    // the loop is deterministic: same script, same transcript
+    val (_, committed2, t2) = drive()
+    assert(committed2 === committed)
+    assert(t2 === t)
+    // EOF acts as finish: a script that runs dry ends the session cleanly
+    val al3 = session()
+    val n3 = ConsoleLabel.run(al3, Seq("y").iterator, _ => ())
+    assert(n3 === 1, "buffered y flushed at EOF-finish")
+    assert(al3.labeledCount === ((3, 2)))
+  }
 }
 
