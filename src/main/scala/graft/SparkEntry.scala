@@ -118,6 +118,7 @@ object SparkEntry {
     "learn_lr_score" -> (LearnOps.learnLrScore _), // rows-only (IRLS fit)
     "learn_disagreement" -> (LearnOps.learnDisagreement _),
     "learn_weighted_sample" -> (LearnOps.learnWeightedSample _),
+    "score_datamodel" -> (LearnOps.scoreDatamodel _),
     "trained_partition" -> (LearnOps.trainedPartition _), // rows-only (full learned loop)
     "trained_restaurant" -> (LearnOps.trainedRestaurant _), // rows-only (reference's own benchmark)
     "trained_link" -> (LearnOps.trainedLink _), // rows-only (learned RecordLink.join)

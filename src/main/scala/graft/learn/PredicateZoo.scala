@@ -21,26 +21,35 @@ import graft.texthash.Predicates
  * (SURVEY.md §7.6); `learn` therefore implements the reference's
  * `index_predicates=False` mode (`training.py:97-103`).
  */
-final case class NamedPredicate(name: String, keys: String => Set[String]) {
-  /** `StringPredicate.__call__`: falsy field -> no keys. */
+final case class NamedPredicate(name: String, keys: String => Set[String],
+                                preprocess: Boolean = true,
+                                falsyGuard: Boolean = true) {
+  /** `StringPredicate.__call__` (preprocess=true) or `SimplePredicate`
+    * (preprocess=false, `predicates.py:81-94`: typed fields are fed raw);
+    * `falsyGuard=false` is `ExistsPredicate.__call__` (`predicates.py:120`),
+    * which keys even a missing field. Non-string fields arrive through
+    * their [[DataModel]] string codec. */
   def apply(field: String): Set[String] =
-    if (field == null || field.isEmpty) Set.empty
-    else keys(Predicates.stringPreprocess(field))
+    if (falsyGuard && (field == null || field.isEmpty)) Set.empty
+    else if (field == null) keys("")
+    else keys(if (preprocess) Predicates.stringPreprocess(field) else field)
 }
 
 object NamedPredicate {
   /** `CompoundPredicate` (`predicates.py:344-375`): block keys are the
     * cross product of the parts' key sets, ':'-joined with ':' escaped as
-    * '\:'. Works on the preprocessed field ([[Predicates.stringPreprocess]]
-    * is idempotent, so parts see exactly what they'd see standalone); any
-    * part with no keys empties the product, like `itertools.product`. */
+    * '\:'. Each part applies its OWN call semantics (preprocess /
+    * falsy-guard), exactly as the reference's compound calls each base
+    * predicate on the record; any part with no keys empties the product,
+    * like `itertools.product`. */
   def compound(parts: Seq[NamedPredicate]): NamedPredicate = {
     require(parts.nonEmpty)
     NamedPredicate(
       parts.map(_.name).mkString("(", " + ", ")"),
-      f => parts.map(_.keys(f).toSeq.sorted).foldLeft(Seq(Seq.empty[String])) {
+      f => parts.map(_.apply(f).toSeq.sorted).foldLeft(Seq(Seq.empty[String])) {
         (acc, ks) => for { pre <- acc; k <- ks } yield pre :+ k // empty ks empties the product
-      }.map(_.map(_.replace(":", "\\:")).mkString(":")).toSet)
+      }.map(_.map(_.replace(":", "\\:")).mkString(":")).toSet,
+      preprocess = false, falsyGuard = false)
   }
 }
 
@@ -88,4 +97,70 @@ object PredicateZoo {
     "doubleMetaphone" -> Predicates.doubleMetaphone,
     "metaphoneToken" -> Predicates.metaphoneToken
   ).map { case (n, f) => NamedPredicate(s"($n, $field)", f) }
+
+  /** The `Text` variable's zoo: the 18 `base_predicates`
+    * (`variables/string.py:13-32`) — [[stringPredicates]] minus the six
+    * ShortString extras (`:55-61`). */
+  def textPredicates(field: String): Seq[NamedPredicate] =
+    stringPredicates(field).take(18)
+
+  /** `wholeFieldPredicate` as a `SimplePredicate` — NO preprocessing —
+    * the form `Exact` / `Categorical` / `Price` variables declare
+    * (`variables/exact.py:7-10`, `categorical_type.py:14`). */
+  def wholeFieldSimple(field: String): NamedPredicate =
+    NamedPredicate(s"(wholeFieldPredicate, $field)", f => Set(f), preprocess = false)
+
+  /** The `Set` variable's 7 predicates (`variables/set.py:12-20`,
+    * declaration order), over the [[DataModel.SetSep]]-joined codec.
+    * `SimplePredicate` semantics: raw values, falsy (empty) set -> no keys. */
+  def setPredicates(field: String): Seq[NamedPredicate] = {
+    def over(name: String, f: Seq[String] => Set[String]) =
+      NamedPredicate(s"($name, $field)", s => {
+        val elems = s.split(DataModel.SetSep).toSeq.filter(_.nonEmpty)
+        if (elems.isEmpty) Set.empty else f(elems)
+      }, preprocess = false)
+    Seq(
+      over("wholeSetPredicate", Predicates.wholeSetPredicate),
+      over("commonSetElementPredicate", Predicates.commonSetElementPredicate),
+      over("lastSetElementPredicate", Predicates.lastSetElementPredicate),
+      over("commonTwoElementsPredicate", Predicates.commonTwoElementsPredicate),
+      over("commonThreeElementsPredicate", Predicates.commonThreeElementsPredicate),
+      over("magnitudeOfCardinality", Predicates.magnitudeOfCardinality),
+      over("firstSetElementPredicate", Predicates.firstSetElementPredicate))
+  }
+
+  /** The `LatLong` variable's predicate (`variables/latlong.py:15`) over
+    * the `"lat,lon"` codec; the (0, 0) empty-grid rule lives in the kernel
+    * (`predicates.py:198-211`). */
+  def latLongPredicates(field: String): Seq[NamedPredicate] = Seq(
+    NamedPredicate(s"(latLongGridPredicate, $field)", s => {
+      val parts = s.split(",")
+      Predicates.latLongGridPredicate(parts(0).toDouble, parts(1).toDouble)
+    }, preprocess = false))
+
+  /** The `Price` variable's 3 predicates (`variables/price.py:10-14`,
+    * declaration order). `SimplePredicate` falsiness: a 0 price yields no
+    * keys (`predicates.py:90-94` `if column:` on the float). */
+  def pricePredicates(field: String): Seq[NamedPredicate] = {
+    def over(name: String, f: Double => Set[String]) =
+      NamedPredicate(s"($name, $field)", s => {
+        val v = s.toDouble
+        if (v == 0.0) Set.empty else f(v)
+      }, preprocess = false)
+    Seq(
+      over("orderOfMagnitude", Predicates.orderOfMagnitude),
+      over("wholeFieldPredicate", v => Set(v.toString)),
+      over("roundTo1", Predicates.roundTo1))
+  }
+
+  /** `ExistsPredicate` (`predicates.py:106-122`): keys "1"/"0" by field
+    * truthiness, EVEN when the field is missing (no falsy guard). Python
+    * truthiness per kind: a 0 price is falsy, everything else goes by
+    * null/empty on the codec. */
+  def existsPredicate(field: String, kind: String = "string"): NamedPredicate =
+    NamedPredicate(s"(Exists, $field)", s => {
+      val truthy = s != null && s.nonEmpty &&
+        (kind != "price" || s.toDouble != 0.0)
+      Set(if (truthy) "1" else "0")
+    }, preprocess = false, falsyGuard = false)
 }

@@ -70,6 +70,37 @@ object Comparators {
       when((px || py) && !(px && py), 1L).otherwise(0L))
   }
 
+  /** Corpus-less `CosineSetSimilarity` (`variables/set.py:31-36` with no
+    * corpus: every element weighs 1): |A ∩ B| / sqrt(|A| |B|) over distinct
+    * elements; empty side -> 0. Inputs are array&lt;string&gt; Columns. */
+  def cosineSetTf(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val denom = sqrt(size(da).cast("double") * size(db).cast("double"))
+    when(denom > 0,
+      size(array_intersect(da, db)).cast("double") / denom).otherwise(0.0)
+  }
+
+  /** Corpus-less `CosineTextSimilarity` (`variables/string.py:103-110` with
+    * no corpus: weights are raw term counts): tf-weighted cosine over
+    * whitespace tokens of the two strings. Pure Column HOFs — per-pair work
+    * is O(unique × total) on SHORT fields (the variable's intended use);
+    * corpus-weighted cosine at scale is [[tfidfWeights]] +
+    * [[PipelineOps.scoreCosineTfidf]]'s distributed shape. */
+  def cosineTextTf(a: Column, b: Column): Column = {
+    def toks(c: Column): Column =
+      filter(split(c, "(?U)[\\s\\u001c-\\u001f]+"), t => t =!= "")
+    def cnt(arr: Column, t: Column): Column =
+      size(filter(arr, x => x === t)).cast("double")
+    def dot(u: Column, ta: Column, tb: Column): Column =
+      aggregate(u, lit(0.0), (acc, t) => acc + cnt(ta, t) * cnt(tb, t))
+    val ta = toks(a)
+    val tb = toks(b)
+    val num = dot(array_distinct(ta), ta, tb)
+    val denom = sqrt(dot(array_distinct(ta), ta, ta) * dot(array_distinct(tb), tb, tb))
+    when(denom > 0, num / denom).otherwise(0.0)
+  }
+
   // ---------------------------------------------- TF-IDF cosine comparators
 
   import org.apache.spark.sql.DataFrame

@@ -274,4 +274,51 @@ object LearnOps {
       .select(col("id_a"), col("id_b"), col("tier"),
         floor(col("rank_key") * 1000000).cast("long").as("key_q"))
   }
+
+  /**
+   * The full typed featurizer as a catalog query — `DataModel.distances`
+   * over EVERY oracle-expressible variable kind (`datamodel.py:106-144`):
+   * exact, text (tf cosine), set (set cosine), price (log10 distance,
+   * `<=0` = NaN-missing), latlong (sqrt haversine), categorical dummies,
+   * exists dummies, an interaction product that inherits the price
+   * missing rule, and the trailing `1 - is_missing` indicator block.
+   * String/shortstring (affine gap) are excluded only because DuckDB
+   * cannot express the DP — they are golden- and spec-covered. Floats
+   * rounded to 6, the engine-portable convention [[PipelineOps.scoreGeoPrice]]
+   * established.
+   */
+  def scoreDatamodel(s: SparkSession, dir: String): DataFrame = {
+    import graft.learn.DataModel
+    import DataModel.Variable
+    val d = docs(s, dir).select(
+      col("doc_id"),
+      regexp_extract(col("text"), "^([a-z0-9']+[^a-z0-9']+[a-z0-9']+)", 1).as("key"),
+      col("source").as("src"),
+      substring(col("text"), 1, 40).as("head"),
+      array_join(array_distinct(split(substring(col("text"), 1, 60), " ")),
+        DataModel.SetSep).as("toks"),
+      (col("doc_id") % 1000).cast("double").cast("string").as("price"),
+      concat_ws(",",
+        ((col("doc_id") * 7 % 18000) / lit(100.0) - 90).cast("string"),
+        ((col("doc_id") * 13 % 36000) / lit(100.0) - 180).cast("string")).as("loc"),
+      when(col("lang").isin("en", "fr"), col("lang")).otherwise("other").as("cat"),
+      when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(col("source")).as("ex"))
+      .filter(col("key") =!= "")
+    val p = d.as("a").join(d.as("b"),
+      col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+    val vars = Seq(
+      Variable("src", "exact"),
+      Variable("head", "text"),
+      Variable("toks", "set"),
+      Variable("price", "price", hasMissing = true),
+      Variable("loc", "latlong"),
+      Variable("cat", "categorical", categories = Seq("en", "fr", "other")),
+      Variable("ex", "exists", hasMissing = true),
+      Variable("ix", "interaction", interactionFields = Seq("price", "src")))
+    val feats = DataModel.featureColumns(vars,
+      f => col(s"a.$f"), f => col(s"b.$f"))
+    p.select(Seq(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")) ++
+      feats.zipWithIndex.map { case (c, i) => round(c, 6).as(s"x$i") }: _*)
+  }
 }

@@ -626,6 +626,74 @@ object OracleSql {
         CASE WHEN (pa OR pb) AND NOT (pa AND pb) THEN 1 ELSE 0 END AS ex_d2
       FROM p""",
 
+    // The typed DataModel featurizer (datamodel.py:106-144): every
+    // oracle-expressible variable kind + interaction + missing indicators.
+    // Floats round(,6) per the score_geo_price convention; dummies and
+    // indicators emit DOUBLE to match the featurizer's column types.
+    "score_datamodel" -> s"""
+      WITH d AS (
+        SELECT doc_id, $TWO_TOKEN_KEY AS key,
+          source AS src,
+          substring(text, 1, 40) AS head,
+          list_distinct(list_filter(string_split(substring(text, 1, 60), ' '),
+            x -> x <> '')) AS toks,
+          CAST(doc_id % 1000 AS DOUBLE) AS price,
+          (doc_id * 7 % 18000) / 100.0 - 90 AS lat,
+          (doc_id * 13 % 36000) / 100.0 - 180 AS lon,
+          CASE WHEN lang IN ('en', 'fr') THEN lang ELSE 'other' END AS cat,
+          CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END AS ex
+        FROM documents),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          a.src AS src1, b.src AS src2,
+          list_filter(string_split(a.head, ' '), x -> x <> '') AS ta,
+          list_filter(string_split(b.head, ' '), x -> x <> '') AS tb,
+          a.toks AS sa, b.toks AS sb,
+          a.price AS p1, b.price AS p2,
+          a.lat AS lat1, a.lon AS lon1, b.lat AS lat2, b.lon AS lon2,
+          least(a.cat, b.cat) AS clo, greatest(a.cat, b.cat) AS chi,
+          (a.ex IS NOT NULL AND a.ex <> '') AS pa,
+          (b.ex IS NOT NULL AND b.ex <> '') AS pb
+        FROM d a JOIN d b USING (key)
+        WHERE a.doc_id < b.doc_id AND a.key <> ''),
+      f AS (SELECT id_a, id_b,
+          CASE WHEN src1 = src2 THEN 1.0 ELSE 0.0 END AS ex0,
+          COALESCE(list_sum(list_transform(list_distinct(ta),
+            t -> len(list_filter(ta, z -> z = t)) * len(list_filter(tb, z -> z = t)))), 0) AS dot,
+          COALESCE(list_sum(list_transform(list_distinct(ta),
+            t -> pow(len(list_filter(ta, z -> z = t)), 2))), 0) AS na,
+          COALESCE(list_sum(list_transform(list_distinct(tb),
+            t -> pow(len(list_filter(tb, z -> z = t)), 2))), 0) AS nb,
+          len(sa) AS la, len(sb) AS lb, len(list_intersect(sa, sb)) AS li,
+          CASE WHEN p1 <= 0 OR p2 <= 0 THEN NULL
+               ELSE abs(log10(p1) - log10(p2)) END AS praw,
+          sqrt(2 * 6371.0088 * asin(sqrt(
+            pow(sin(radians(lat2 - lat1) / 2), 2) +
+            cos(radians(lat1)) * cos(radians(lat2)) *
+              pow(sin(radians(lon2 - lon1) / 2), 2)))) AS hav,
+          clo, chi, pa, pb
+        FROM p)
+      SELECT id_a, id_b,
+        ex0 AS x0,
+        CASE WHEN na * nb > 0
+             THEN round(dot / sqrt(CAST(na AS DOUBLE) * nb), 6) ELSE 0.0 END AS x1,
+        CASE WHEN la * lb > 0
+             THEN round(li / sqrt(CAST(la AS DOUBLE) * lb), 6) ELSE 0.0 END AS x2,
+        COALESCE(round(praw, 6), 0.0) AS x3,
+        round(hav, 6) AS x4,
+        CASE WHEN clo = 'fr' AND chi = 'fr' THEN 1.0 ELSE 0.0 END AS x5,
+        CASE WHEN clo = 'other' AND chi = 'other' THEN 1.0 ELSE 0.0 END AS x6,
+        CASE WHEN clo = 'en' AND chi = 'fr' THEN 1.0 ELSE 0.0 END AS x7,
+        CASE WHEN clo = 'en' AND chi = 'other' THEN 1.0 ELSE 0.0 END AS x8,
+        CASE WHEN clo = 'fr' AND chi = 'other' THEN 1.0 ELSE 0.0 END AS x9,
+        CASE WHEN pa AND pb THEN 1.0 ELSE 0.0 END AS x10,
+        CASE WHEN (pa OR pb) AND NOT (pa AND pb) THEN 1.0 ELSE 0.0 END AS x11,
+        COALESCE(round(praw * ex0, 6), 0.0) AS x12,
+        CASE WHEN praw IS NULL THEN 0.0 ELSE 1.0 END AS x13,
+        1.0 AS x14,
+        1.0 AS x15,
+        CASE WHEN praw IS NULL THEN 0.0 ELSE 1.0 END AS x16
+      FROM f""",
+
     // TF-IDF cosine: idf quantized to ints (x1000) so dot/norms are exact
     // integer sums; the one double division at the end is deterministic
     "score_cosine_tfidf" -> cosineSql(setSemantics = false),
