@@ -68,4 +68,24 @@ class RestaurantLinkSpec extends AnyFunSuite {
     assert(rep.precision >= 0.9, f"precision ${rep.precision}%.4f")
     assert(rep.recall >= 0.9, f"recall ${rep.recall}%.4f")
   }
+
+  test("StaticRecordLink / StaticGazetteer: reloaded settings join and search identically") {
+    // the api.py:400-520 Static* constructors: a settings FILE alone drives
+    // join() and search() — round-trip the learned link settings and assert
+    // both surfaces reproduce their output bit-for-bit
+    val (d1, d2, settings) = Restaurant.trainLink(spark)
+    val path = "/tmp/graft_restaurant_link_settings.json"
+    TrainedDedupe.writeSettings(spark, path, settings)
+    val reloaded = TrainedDedupe.readSettings(spark, path)
+    assert(reloaded.toJson === settings.toJson)
+    def linksOf(s: TrainedDedupe.Settings) =
+      TrainedDedupe.linkFields(d1, d2, Restaurant.LinkVariables, s, 0.5, "one-to-one")
+        .select(col("rid_l"), col("rid_r")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(linksOf(reloaded) === linksOf(settings))
+    def searchOf(s: TrainedDedupe.Settings) =
+      TrainedDedupe.searchFields(d1, d2, Restaurant.LinkVariables, s, 0.5, n = 1)
+        .select(col("query_rid"), coalesce(col("match_rid"), lit(-1L)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(searchOf(reloaded) === searchOf(settings))
+  }
 }
