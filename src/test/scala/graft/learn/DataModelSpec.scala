@@ -174,6 +174,36 @@ class DataModelSpec extends AnyFunSuite {
     }
   }
 
+  test("reference layout goldens (tests/test_dedupe.py:31-65, test_exists.py, test_price.py)") {
+    // DataModelTest: interaction binds columns [0, 1]; missing_field_indices
+    // is [0, 2] when a has_missing (field col 0 + the interaction col 2)
+    def m(hasMissing: Boolean) = Seq(
+      Variable("a", "string", hasMissing = hasMissing), Variable("b", "string"),
+      Variable("i", "interaction", interactionFields = Seq("a", "b")))
+    assert(DataModel.featureNames(m(false)) ===
+      Seq("string:a", "string:b", "interaction(string:a*string:b)"))
+    assert(DataModel.featureNames(m(true)) ===
+      Seq("string:a", "string:b", "interaction(string:a*string:b)",
+        "present:string:a", "present:interaction(string:a*string:b)"))
+    // TestExists.test_comparator: (None,None)->[0,0], (1,1)->[1,0], (1,0)->[0,1]
+    def ex(a: Any, b: Any): Seq[Double] = {
+      val df = Seq(1).toDF("one").select(
+        lit(a).cast("string").as("x"), lit(b).cast("string").as("y"))
+      df.select(array(graft.ops.Comparators.existsDummies(col("x"), col("y"))
+        .map(_.cast("double")): _*).as("d")).as[Seq[Double]].head()
+    }
+    assert(ex(null, null) === Seq(0.0, 0.0))
+    assert(ex("1", "1") === Seq(1.0, 0.0))
+    assert(ex("1", null) === Seq(0.0, 1.0))
+    // TestExists.test_len_higher_vars: width > 1 and == dummy count
+    assert(Variable("f", "exists").width === 2)
+    // TestPrice.test_comparator: comparator(1, 10) == 1
+    val pd = Seq((1.0, 10.0)).toDF("p1", "p2").select(
+      graft.ops.Comparators.priceLogDiff(col("p1"), col("p2")).as("d"))
+      .as[Double].head()
+    assert(pd === 1.0)
+  }
+
   test("mixed-kind variable list trains and partitions end to end") {
     // 8 entities x 2 variants: name strings agree on first token; price
     // within 2x; category equal for dups, different across entities
