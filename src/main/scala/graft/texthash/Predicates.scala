@@ -162,22 +162,30 @@ object Predicates {
       Set(f"(${pyRound(lat, 1)}%s, ${pyRound(lon, 1)}%s)")
     else Set.empty
 
-  /** Python round(x, 1) — banker's rounding, rendered like Python floats. */
+  /** Python round(x, digits): banker's rounding of the EXACT binary value
+    * (`new BigDecimal(double)`, not valueOf — Python rounds 2.15's true
+    * 2.1499…9 to 2.1 where the shortest-repr path would give 2.2; caught
+    * by the typed executed-reference fuzz), rendered like Python floats
+    * incl. the negative-zero case (round(-0.04, 1) -> "-0.0"). */
   private def pyRound(x: Double, digits: Int): String = {
-    val bd = BigDecimal(x).setScale(digits, BigDecimal.RoundingMode.HALF_EVEN)
-    bd.underlying.stripTrailingZeros.toPlainString match {
-      case s if s.contains('.') => s
-      case s => s + ".0"
+    val bd = new java.math.BigDecimal(x)
+      .setScale(digits, java.math.RoundingMode.HALF_EVEN)
+    val s = bd.stripTrailingZeros.toPlainString match {
+      case p if p.contains('.') => p
+      case p => p + ".0"
     }
+    if ((x < 0 || 1.0 / x < 0) && !s.startsWith("-")) "-" + s else s
   }
 
   def orderOfMagnitude(x: Double): Set[String] = // :214-218
-    if (x > 0) Set(math.round(math.log10(x)).toString) else Set.empty
+    if (x > 0) Set(math.rint(math.log10(x)).toLong.toString) // Python round() = ties-to-even
+    else Set.empty
 
   def roundTo1(x: Double): Set[String] = { // :222-226
     val absNum = math.abs(x)
     val order = math.floor(math.log10(absNum)).toInt
-    val rounded = BigDecimal(absNum).setScale(-order, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    val rounded = new java.math.BigDecimal(absNum)
+      .setScale(-order, java.math.RoundingMode.HALF_EVEN).doubleValue()
     Set(math.copySign(rounded, x).toLong.toString)
   }
 
