@@ -50,6 +50,20 @@ final class ActiveLearner(records: DataFrame, pool: DataFrame,
   def labeledCount: (Int, Int) =
     (labels.count(_._3 == 1), labels.count(_._3 == 0))
 
+  /** The `DisagreementLearner` seed (`labeler.py:436-452`): an exact
+    * self-match marked 4x positive plus one cross-record pair marked
+    * negative, so the first `uncertainPairs` call has a trainable label
+    * set before any human labels exist. Deterministic seeded-hash picks
+    * stand in for the reference's `random.choice`. */
+  def seed(): Unit = {
+    val ids = records.select(col("rid").cast("long"))
+      .orderBy(xxhash64(col("rid"), lit(20260817L))).limit(2)
+      .as[Long].collect()
+    require(ids.length == 2, "seed() needs at least 2 records")
+    (1 to 4).foreach(_ => markPair(ids(0), ids(0), 1))
+    markPair(ids(0), ids(1), 0)
+  }
+
   /** Field values for the records a front-end is about to show
     * (`convenience.py:158-162` prints `field : value` per record). */
   def recordValues(ids: Seq[Long]): Map[Long, String] =

@@ -315,6 +315,12 @@ class TrainedDedupeSpec extends AnyFunSuite {
     val n3 = ConsoleLabel.run(al3, Seq("y").iterator, _ => ())
     assert(n3 === 1, "buffered y flushed at EOF-finish")
     assert(al3.labeledCount === ((3, 2)))
+    // seed() (labeler.py:436-452: 4x exact self-match + 1 negative) lets a
+    // FRESH session run the loop with zero human labels, as ConsoleLabelMain does
+    val al4 = new ActiveLearner(recordsDf, pool)
+    al4.seed()
+    assert(al4.labeledCount === ((4, 1)))
+    assert(ConsoleLabel.run(al4, Seq("y", "f").iterator, _ => ()) === 1)
   }
 }
 
