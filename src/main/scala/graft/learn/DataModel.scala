@@ -95,13 +95,21 @@ object DataModel {
     * concatenated in declaration order, deduplicated by predicate name
     * (`DataModel.predicates` is a SET union, `datamodel.py:100-106`), plus
     * one `ExistsPredicate` per `hasMissing` field variable
-    * (`variables/base.py:70-73`). */
-  def zoo(vars: Seq[Variable]): Seq[(String, NamedPredicate)] = {
+    * (`variables/base.py:70-73`).
+    * @param indexPredicates `training.py:97-103` mode switch: when true,
+    *        string/shortstring/text variables also contribute the LSH
+    *        canopy predicates ([[PredicateZoo.canopyPredicates]] — the
+    *        learnable index-predicate analogue); set variables' index
+    *        predicates stay realized as the engine's fixed LSH passes */
+  def zoo(vars: Seq[Variable],
+          indexPredicates: Boolean = false): Seq[(String, NamedPredicate)] = {
     val seen = scala.collection.mutable.Set.empty[String]
+    def canopies(f: String) =
+      if (indexPredicates) PredicateZoo.canopyPredicates(f) else Nil
     val out = vars.flatMap { v =>
       val ps: Seq[NamedPredicate] = v.kind match {
-        case "string" | "shortstring" => PredicateZoo.stringPredicates(v.field)
-        case "text" => PredicateZoo.textPredicates(v.field)
+        case "string" | "shortstring" => PredicateZoo.stringPredicates(v.field) ++ canopies(v.field)
+        case "text" => PredicateZoo.textPredicates(v.field) ++ canopies(v.field)
         case "exact" | "categorical" => PredicateZoo.wholeFieldSimple(v.field) :: Nil
         case "set" => PredicateZoo.setPredicates(v.field)
         case "latlong" => PredicateZoo.latLongPredicates(v.field)

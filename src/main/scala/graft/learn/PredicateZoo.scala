@@ -153,6 +153,36 @@ object PredicateZoo {
       over("roundTo1", Predicates.roundTo1))
   }
 
+  /**
+   * LSH canopy predicates — the engine's LEARNABLE realization of the
+   * reference's index predicates (`TfidfNGramCanopyPredicate` at thresholds
+   * 0.2/0.4/0.6/0.8, `variables/string.py:64-67`; selection mode
+   * `training.py:97-103` `index_predicates=True`): each threshold becomes a
+   * pure char-2-gram MinHash band-key function, so the set-cover learner
+   * can SELECT a canopy exactly like a simple predicate and the blocked
+   * self-join runs it like any other key — no mutable TF-IDF index, the
+   * cluster-native replacement for `canopy_index.py`'s stateful canopies.
+   *
+   * Band/row shapes put the LSH S-curve midpoint `(1/b)^(1/r)` nearest
+   * each reference threshold; seeds derive from (threshold, field) so
+   * different canopies never share keys (and the band index is folded into
+   * every key, the `blocking.py:109` block-key suffix analogue).
+   */
+  def canopyPredicates(field: String,
+                       thresholds: Seq[Double] = Seq(0.2, 0.4, 0.6, 0.8)): Seq[NamedPredicate] = {
+    import graft.texthash.TextHash
+    val shapes = Map(0.2 -> ((16, 2)), 0.4 -> ((10, 3)), 0.6 -> ((8, 4)), 0.8 -> ((4, 8)))
+    thresholds.map { t =>
+      val (b, r) = shapes.getOrElse(t, throw new IllegalArgumentException(
+        s"no LSH shape for canopy threshold $t (supported: ${shapes.keys.toSeq.sorted.mkString(", ")})"))
+      val seed = TextHash.hashString(s"canopy:$t:$field", 42L)
+      NamedPredicate(s"(TfidfNGramCanopyPredicate-$t, $field)", f => {
+        val sig = TextHash.minhashSignature(TextHash.shingleHashes(f, 2, seed), b * r, seed)
+        TextHash.bandKeys(sig, b).iterator.map(java.lang.Long.toHexString).toSet
+      })
+    }
+  }
+
   /** `ExistsPredicate` (`predicates.py:106-122`): keys "1"/"0" by field
     * truthiness, EVEN when the field is missing (no falsy guard). Python
     * truthiness per kind: a 0 price is falsy, everything else goes by

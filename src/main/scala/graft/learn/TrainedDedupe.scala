@@ -276,8 +276,9 @@ object TrainedDedupe {
   def trainFields(labeled: DataFrame, records: DataFrame,
                   vars: Seq[DataModel.Variable],
                   recall: Double = 1.0,
-                  candidateTypes: String = "simple"): Settings = {
-    val preds = DataModel.zoo(vars)
+                  candidateTypes: String = "simple",
+                  indexPredicates: Boolean = false): Settings = {
+    val preds = DataModel.zoo(vars, indexPredicates)
     val matches = labeled.filter(col("label") === 1)
     val learned = BlockLearner.learnMulti(matches, records, preds, recall,
       candidateTypes = candidateTypes)
@@ -348,7 +349,11 @@ object TrainedDedupe {
     * part to its own field. */
   def resolveFields(rules: Vector[Vector[String]],
                     vars: Seq[DataModel.Variable]): Seq[BoundRule] = {
-    val byName = DataModel.zoo(vars).map { case (f, p) => p.name -> (f, p) }.toMap
+    // resolve against the SUPERSET zoo (index predicates included) so
+    // settings learned under either training.py mode load; unlearned names
+    // simply never appear in `rules`
+    val byName = DataModel.zoo(vars, indexPredicates = true)
+      .map { case (f, p) => p.name -> (f, p) }.toMap
     rules.map(parts => BoundRule(parts.map(byName)))
   }
 
