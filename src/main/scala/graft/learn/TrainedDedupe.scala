@@ -397,8 +397,9 @@ object TrainedDedupe {
    */
   def trainLinkFields(labeled: DataFrame, left: DataFrame, right: DataFrame,
                       vars: Seq[DataModel.Variable],
-                      recall: Double = 1.0): Settings = {
-    val preds = DataModel.zoo(vars)
+                      recall: Double = 1.0,
+                      indexPredicates: Boolean = false): Settings = {
+    val preds = DataModel.zoo(vars, indexPredicates)
     val matches = labeled.filter(col("label") === 1)
     val learned = BlockLearner.learnLinkMulti(matches, left, right, preds, recall)
     val feats = DataModel.featureColumns(vars,
