@@ -131,6 +131,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val lcs = PipelineOps.scoreLcsSuffix(spark, sf).queryExecution.executedPlan.toString
     assert(lcs.contains("BroadcastHashJoin") && lcs.contains("LeftAnti"),
       s"LCS hot-window drop is not a broadcast anti-join:\n$lcs")
+    // r5: diagonal runs are ONE aggregation (sorted-points HOF walk) — a
+    // window + two groupBys would cost two more shuffles for the same answer
+    assert(!lcs.contains("Window"),
+      s"LCS run computation regressed to a window operator:\n$lcs")
   }
 
   test("scoreLcs co-blocking (r5): bounded suffix self-join, no all-pairs, hot drop is anti-join") {
