@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Optimization-round measurement harness (guide §1) — SEPARATE from the
+ * frozen [[Bench]]: per-query noop-sink timings (so the computation is
+ * measured, not the count short-circuit), optional repeat passes, per-stage
+ * pipeline timings, and `.explain("formatted")` capture for the plan audit.
+ *
+ * Usage: `sbt "runMain graft.BenchExtra [--plans <outDir>] [--reps N]
+ *                                       [--only q1,q2,...]"`.
+ * Prints one JSON line per repetition pass; plans land in `<outDir>/<q>.txt`.
+ */
+object BenchExtra {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark")
+    new java.io.File(localDir).mkdirs()
+
+    var plansDir: Option[String] = None
+    var reps = 1
+    var only: Option[Set[String]] = None
+    var stages = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--plans" => plansDir = Some(args(i + 1)); i += 2
+        case "--reps" => reps = args(i + 1).toInt; i += 2
+        case "--only" => only = Some(args(i + 1).split(",").toSet); i += 2
+        case "--stages" => stages = true; i += 1
+        case "--probe" => i += 1
+        case other => sys.error(s"unknown arg $other")
+      }
+    }
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", localDir)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val benchQueries = Seq(
+      "q1_agg", "q_join_agg", "q_window_topn", "q_anti_join", "q_sort_limit",
+      "pred_token_field", "pred_fingerprint", "pred_common_four_gram",
+      "pairs_self_join", "score_jaccard_tokens", "score_cosine_tfidf",
+      "score_lcs_suffix", "cluster_cc",
+      "dedup_exact", "dedup_minhash_sig", "dedup_simhash16",
+      "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embed_cosine",
+      "tfidf_search",
+      "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
+      "ann_l2_topk", "mm_binary_meta",
+      "learn_cover", "learn_weighted_sample")
+      .filter(q => only.forall(_.contains(q)))
+
+    // plan capture (driver-only, cheap)
+    plansDir.foreach { dir =>
+      new java.io.File(dir).mkdirs()
+      benchQueries.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          val plan = try fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          catch { case e: Throwable => s"explain failed: $e" }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/$name.txt"), plan.getBytes("UTF-8"))
+        }
+      }
+    }
+
+    // deep probe of the pairs/scored internals: row counts + sub-timings
+    if (args.contains("--probe")) {
+      val cfg = graft.dedup.DedupConfig()
+      import org.apache.spark.sql.functions._
+      val spark2 = spark
+      import spark2.implicits._
+      val pages = graft.data.WebText.benchCorpus(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pages.count()
+      val normalized = pages.select($"url", xxhash64($"url").as("nid"),
+        graft.expr.functions.normalize_text($"text").as("text"))
+      val sigs = graft.dedup.Blocking.signatures(
+        normalized.filter($"text".isNotNull).select($"nid", $"text"), cfg, idCol = "nid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = sigs.count()
+      val t = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val c = scala.collection.mutable.LinkedHashMap[String, Long]()
+      val keys = graft.dedup.Blocking.blockKeys(sigs, cfg, idCol = "nid")
+      t("keys_noop") = time { noop(keys) }
+      c("n_keys") = keys.count()
+      val cap = graft.dedup.Blocking.hotKeyCap(nDocs, cfg)
+      val counts = keys.groupBy($"key").agg(count(lit(1)).as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("counts") = time { c("n_distinct_keys") = counts.count() }
+      c("n_hot") = counts.filter($"df" > cap).count()
+      c("sum_df2_kept") = counts.filter($"df" <= cap)
+        .agg(sum(expr("df * (df - 1) div 2"))).head().getLong(0)
+      val hot = counts.filter($"df" > cap).select($"key")
+      val kept = keys.join(broadcast(hot), Seq("key"), "left_anti")
+      val pairs = kept.as("x").join(kept.as("y"),
+        col("x.key") === col("y.key") && col("x.nid") < col("y.nid"))
+        .select(col("x.nid").as("a"), col("y.nid").as("b"))
+      t("pairs_noop") = time { noop(pairs) }
+      val fp = sigs.select($"nid".as("sid"), $"simhash")
+      val pre = pairs
+        .join(fp.withColumnRenamed("sid", "a").withColumnRenamed("simhash", "h_a"), Seq("a"))
+        .join(fp.withColumnRenamed("sid", "b").withColumnRenamed("simhash", "h_b"), Seq("b"))
+        .filter(graft.expr.functions.hamming64($"h_a", $"h_b") <= cfg.scoreMaxHamming)
+        .select($"a", $"b")
+      t("prefilter_noop") = time { noop(pre) }
+      val surv = pre.distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("survivors_distinct") = time { c("n_survivors") = surv.count() }
+      val sh = sigs.select($"nid".as("sid"), $"shingles").hint("shuffle_hash")
+      val jac = surv
+        .join(sh.withColumnRenamed("sid", "a").withColumnRenamed("shingles", "sh_a"), Seq("a"))
+        .join(sh.withColumnRenamed("sid", "b").withColumnRenamed("shingles", "sh_b"), Seq("b"))
+        .select($"a", $"b", graft.expr.functions.jaccard_sorted($"sh_a", $"sh_b").as("jac"))
+        .filter($"jac" > cfg.minScore)
+      t("verify_noop") = time { noop(jac) }
+      c("n_scored") = jac.count()
+      println("PROBE counts " + c.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
+      println("PROBE times " + t.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}"))
+      spark.stop(); return
+    }
+
+    // per-stage pipeline timing (noop per stage, cumulative config as in
+    // Pipeline.run but materializing each boundary once)
+    if (stages) {
+      val cfg = graft.dedup.DedupConfig()
+      val pages = graft.data.WebText.benchCorpus(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = pages.count()
+      val st = scala.collection.mutable.LinkedHashMap[String, Double]()
+      import org.apache.spark.sql.functions._
+      val spark2 = spark
+      import spark2.implicits._
+      val normalized = pages.select($"url", xxhash64($"url").as("nid"),
+        graft.expr.functions.normalize_text($"text").as("text"))
+      st("normalize+collision") = time {
+        val r = normalized.agg(countDistinct($"nid"), countDistinct($"url")).head()
+        require(r.getLong(0) == r.getLong(1))
+      }
+      val sigs = graft.dedup.Blocking.signatures(
+        normalized.filter($"text".isNotNull).select($"nid", $"text"), cfg, idCol = "nid")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      st("signatures") = time { noop(sigs) }
+      val nDocs = sigs.count()
+      var pairs: DataFrame = null
+      st("pairs") = time {
+        val keys = graft.dedup.Blocking.blockKeys(sigs, cfg, idCol = "nid", carryFp = true)
+        val res = graft.dedup.Blocking.candidatePairs(keys, nDocs, cfg, idCol = "nid",
+          dedup = false, maxHamming = cfg.scoreMaxHamming)
+        pairs = res.pairs
+        noop(pairs)
+      }
+      var scored: DataFrame = null
+      st("scored") = time {
+        scored = graft.dedup.Scoring.scorePairs(pairs, sigs, idCol = "nid",
+          minScore = cfg.minScore, maxHamming = 64, dedupePairs = true,
+          seed = cfg.seed, lcsDfCap = cfg.hotKeyAbsCap)
+        scored = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        noop(scored)
+      }
+      var labeled: DataFrame = null
+      st("components") = time {
+        labeled = graft.dedup.ConnectedComponents.withRefilter(scored, cfg.maxComponents)
+        noop(labeled)
+      }
+      st("clusters") = time {
+        val clustered = graft.dedup.ClusterStage.clusterComponents(labeled, cfg.threshold, cfg.maxComponents)
+        val withSingles = graft.dedup.ClusterStage.addSingletons(normalized.select($"nid"), clustered)
+        noop(graft.dedup.ClusterStage.toUrls(withSingles, normalized.select($"nid", $"url")))
+      }
+      println("STAGES " + st.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}") + s""" docs=$n""")
+      pages.unpersist(); sigs.unpersist(); scored.unpersist()
+    }
+
+    (1 to reps).foreach { rep =>
+      val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+      benchQueries.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          spark.sparkContext.setJobDescription(s"extra:$name")
+          results(name) = try time(noop(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+          spark.sparkContext.setJobDescription(null)
+        }
+      }
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val total = results.values.filter(_ >= 0).sum
+      println(s"""{"rep":$rep,"metric":"extra_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan capture for the optimization-round audit (before/after explain). */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    val names = Seq(
+      "q1_agg", "q_join_agg", "q_window_topn", "q_anti_join", "q_sort_limit",
+      "pred_token_field", "pred_fingerprint", "pred_common_four_gram",
+      "pairs_self_join", "score_jaccard_tokens", "score_cosine_tfidf",
+      "score_lcs_suffix", "cluster_cc",
+      "dedup_exact", "dedup_minhash_sig", "dedup_simhash16",
+      "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embed_cosine",
+      "tfidf_search",
+      "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
+      "ann_l2_topk", "mm_binary_meta",
+      "learn_cover", "learn_weighted_sample", "score_blend_lcs")
+    names.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        val plan = try fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        catch { case e: Throwable => s"explain failed: $e" }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$outDir/$name.txt"), plan.getBytes("UTF-8"))
+      }
+    }
+    // flagship pipeline: the lazy plan of the scored-pairs stage (the part
+    // this round reshapes; the final clusters frame is driver-local after CC)
+    val cfg = graft.dedup.DedupConfig()
+    import org.apache.spark.sql.functions._
+    val pages = graft.data.WebText.benchCorpus(spark, sfDir)
+    val spark2 = spark
+    import spark2.implicits._
+    val normalized = pages.select($"url", xxhash64($"url").as("nid"),
+      graft.expr.functions.normalize_text($"text").as("text"))
+    val sigs = graft.dedup.Blocking.signatures(
+      normalized.filter($"text".isNotNull).select($"nid", $"text"), cfg, idCol = "nid")
+    val keys = graft.dedup.Blocking.blockKeys(sigs, cfg, idCol = "nid", carryFp = true)
+    val pairs = graft.dedup.Blocking.candidatePairs(keys, 210249L, cfg,
+      idCol = "nid", dedup = false, maxHamming = cfg.scoreMaxHamming).pairs
+    val scored = graft.dedup.Scoring.scorePairs(pairs, sigs, idCol = "nid",
+      minScore = cfg.minScore, maxHamming = 64, dedupePairs = true)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/dedup_pipeline_scored.txt"),
+      scored.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+    spark.stop()
+  }
+}

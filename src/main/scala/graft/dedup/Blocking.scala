@@ -62,15 +62,20 @@ object Blocking {
 
   /** Explode all block keys for one signature row: minhash bands, simhash
     * chunks, sampled suffix keys, whole-text exact key — each in its own
-    * keyspace. Returns (key: long, id: string). */
+    * keyspace. Returns (key: long, id: string) — plus the row's `fpCol`
+    * fingerprint when `carryFp` is set, so [[candidatePairs]] can prefilter
+    * INSIDE the self-join (guide §2.3/§2.4: ship 8 more bytes per key row
+    * instead of two extra joins over the full candidate-pair stream). */
   def blockKeys(sigs: DataFrame, cfg: DedupConfig, idCol: String = "url",
-                textCol: String = "text"): DataFrame = {
+                textCol: String = "text", carryFp: Boolean = false,
+                fpCol: String = "simhash"): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
+    val extra = if (carryFp) Seq(col(fpCol).as("fp")) else Nil
 
     val minhashKeys = sigs
-      .select(explode(gf.band_keys($"sig", cfg.bands)).as("k"), col(idCol))
-      .select(tagged($"k", TagMinhash).as("key"), col(idCol))
+      .select(Seq(explode(gf.band_keys($"sig", cfg.bands)).as("k"), col(idCol)) ++ extra: _*)
+      .select(Seq(tagged($"k", TagMinhash).as("key"), col(idCol)) ++ extra.map(_ => col("fp")): _*)
 
     val parts = Seq(minhashKeys) ++
       (if (cfg.useSimHash) {
@@ -95,16 +100,16 @@ object Blocking {
         val keyExprs = combos.zipWithIndex.map { case ((i, j, k), c) =>
           tagged(xxhash64(block(i), block(j), block(k), lit(c)), TagSimhash)
         }
-        Seq(sigs.select(explode(array(keyExprs: _*)).as("key"), col(idCol)))
+        Seq(sigs.select(Seq(explode(array(keyExprs: _*)).as("key"), col(idCol)) ++ extra: _*))
       } else Nil) ++
       (if (cfg.useSuffix)
-        Seq(sigs.select(
+        Seq(sigs.select(Seq(
           explode(gf.suffix_keys(col(textCol), cfg.suffixWidth, cfg.suffixEvery, cfg.seed)).as("k"),
-          col(idCol))
-          .select(tagged($"k", TagSuffix).as("key"), col(idCol)))
+          col(idCol)) ++ extra: _*)
+          .select(Seq(tagged($"k", TagSuffix).as("key"), col(idCol)) ++ extra.map(_ => col("fp")): _*))
       else Nil) ++
       (if (cfg.useExact)
-        Seq(sigs.select(tagged(xxhash64(col(textCol)), TagExact).as("key"), col(idCol)))
+        Seq(sigs.select(Seq(tagged(xxhash64(col(textCol)), TagExact).as("key"), col(idCol)) ++ extra: _*))
       else Nil)
 
     parts.reduce(_ unionAll _)
@@ -132,11 +137,13 @@ object Blocking {
    * collection — a mega-bucket never materializes anywhere.
    */
   def candidatePairs(keys: DataFrame, nDocs: Long, cfg: DedupConfig,
-                     idCol: String = "url", dedup: Boolean = true): BlockingResult = {
+                     idCol: String = "url", dedup: Boolean = true,
+                     maxHamming: Int = 64): BlockingResult = {
     val spark = keys.sparkSession
     import spark.implicits._
 
     val cap = hotKeyCap(nDocs, cfg)
+    val prefilter = maxHamming < 64 && keys.columns.contains("fp")
 
     // (key, id) tuples are distinct by construction (every source emits
     // distinct keys per doc, sources live in disjoint keyspaces) — the
@@ -162,9 +169,22 @@ object Blocking {
     // array allocation measured ~2x slower than the codegen'd join, and
     // per-key output fan-out is the same either way: bounded by cap²/2,
     // with AQE skew-split available above that.)
+    // shuffle_hash: both sides are the SAME ~key-count-sized table (one
+    // exchange, reused) — hash-building one side beats sort-merge's two
+    // full sorts of the key stream at any scale (guide §3.1).
+    // When the key rows carry the 8-byte simhash fingerprint (`fp`), the
+    // SimHash prefilter runs INSIDE this join: pairs beyond `maxHamming`
+    // never materialize, and the scoring stage skips its two fingerprint
+    // joins over the full candidate stream (guide §2.3: shuffle a few bytes
+    // of metadata instead of re-deriving them with extra joins).
+    val joinCond =
+      if (prefilter)
+        col("x.key") === col("y.key") && col(s"x.$idCol") < col(s"y.$idCol") &&
+          gf.hamming64(col("x.fp"), col("y.fp")) <= maxHamming
+      else
+        col("x.key") === col("y.key") && col(s"x.$idCol") < col(s"y.$idCol")
     val pairs = kept.as("x")
-      .join(kept.as("y"),
-        col("x.key") === col("y.key") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .join(kept.as("y").hint("shuffle_hash"), joinCond)
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
 
     // `dedup = false` defers the global distinct to after the (cheap,

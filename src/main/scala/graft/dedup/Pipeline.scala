@@ -145,22 +145,31 @@ object Pipeline {
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     record("signatures", sigs)
 
-    // 3. candidate pairs
+    // 3. candidate pairs. The SimHash prefilter runs INSIDE the blocking
+    // self-join (key rows carry the 8-byte fingerprint) — pairs beyond
+    // `scoreMaxHamming` never materialize and the scoring stage skips its
+    // two fingerprint joins over the full candidate stream (guide §2.3/§2.4;
+    // r6: the two prefilter joins were the single most expensive step of the
+    // whole pipeline at sf0.1). Survivor set is IDENTICAL: the filter
+    // commutes with the deferred distinct.
+    val inJoinPrefilter = cfg.useSimHash && cfg.scoreMaxHamming < 64
     var hotDropped = -1L
     val pairs = stage("pairs") {
       val nDocs = sigs.count()
-      val keys = Blocking.blockKeys(sigs, cfg, idCol = "nid")
+      val keys = Blocking.blockKeys(sigs, cfg, idCol = "nid",
+        carryFp = inJoinPrefilter)
       // distinct deferred to post-prefilter in the scoring stage
-      val res = Blocking.candidatePairs(keys, nDocs, cfg, idCol = "nid", dedup = false)
+      val res = Blocking.candidatePairs(keys, nDocs, cfg, idCol = "nid", dedup = false,
+        maxHamming = if (inJoinPrefilter) cfg.scoreMaxHamming else 64)
       hotDropped = res.hotKeysDropped
       res.pairs
     }
     record("pairs", pairs, hotDropped)
 
-    // 4. scored pairs
+    // 4. scored pairs (prefilter already applied in-join above)
     val scored = stage("scored") {
       Scoring.scorePairs(pairs, sigs, idCol = "nid", minScore = cfg.minScore,
-        maxHamming = cfg.scoreMaxHamming, dedupePairs = true,
+        maxHamming = if (inJoinPrefilter) 64 else cfg.scoreMaxHamming, dedupePairs = true,
         scoreLcs = cfg.scoreLcs, lcsWindow = cfg.lcsWindow, lcsPrefix = cfg.lcsPrefix,
         suffixWidth = cfg.suffixWidth, suffixEvery = cfg.suffixEvery,
         seed = cfg.seed, lcsDfCap = cfg.hotKeyAbsCap)

@@ -57,32 +57,26 @@ object Scoring {
    */
   def lcsScores(pairs: DataFrame, texts: DataFrame, idCol: String,
                 w: Int, prefix: Int): DataFrame = {
+    // r6 (guide §2.4): one codegen'd longest-common-substring kernel call
+    // per pair over the prefix-bounded texts replaces the r5 window-hash
+    // equi-joins (pairs × ~prefix windows/side) + run-walk aggregation —
+    // two joins of ~250-byte text payloads instead of two joins of exploded
+    // window streams plus a wide aggregation. Exact, not hash-approximate:
+    // the xxhash64 window keys could (2^-64) overestimate a run; the DP
+    // cannot. Pairs whose LCS is below `w` shared no window and emitted no
+    // row before — the `lcs_len >= w` filter preserves that contract.
     val pre = texts
       .select(col(idCol).as("sid"), substring(col("text"), 1, prefix).as("t"))
       .filter(length(col("t")) >= w)
-    val wins = pre.select(col("sid"), explode(expr(
-      s"transform(sequence(1, length(t) - ${w - 1}), i -> named_struct('i', i, 'wh', xxhash64(substring(t, i, $w))))")).as("s"))
-      .select(col("sid"), col("s.i").as("i"), col("s.wh").as("wh"))
-    val lens = pre.select(col("sid"), length(col("t")).cast("long").as("lenp"))
-    val pa = pairs
-      .join(wins.select(col("sid").as("a"), col("i"), col("wh")).hint("shuffle_hash"), Seq("a"))
-    val pr = pa
-      .join(wins.select(col("sid").as("b"), col("i").as("j"), col("wh")).hint("shuffle_hash"),
-        Seq("b", "wh"))
-      .select(col("a"), col("b"), col("i"), col("j"))
-    val byDiag = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("a"), col("b"), col("diag")).orderBy(col("i"))
-    val lcs = pr.withColumn("diag", col("i") - col("j"))
-      .withColumn("grp", col("i") - row_number().over(byDiag))
-      .groupBy(col("a"), col("b"), col("diag"), col("grp"))
-      .agg(count(lit(1)).as("run"))
-      .groupBy(col("a"), col("b"))
-      .agg((max(col("run")) + lit(w - 1)).as("lcs_len"))
-    lcs
-      .join(lens.select(col("sid").as("a"), col("lenp").as("len_a")), Seq("a"))
-      .join(lens.select(col("sid").as("b"), col("lenp").as("len_b")), Seq("b"))
+    pairs
+      .join(pre.select(col("sid").as("a"), col("t").as("t_a")).hint("shuffle_hash"), Seq("a"))
+      .join(pre.select(col("sid").as("b"), col("t").as("t_b")).hint("shuffle_hash"), Seq("b"))
       .select(col("a"), col("b"),
-        (col("lcs_len").cast("double") / least(col("len_a"), col("len_b"))).as("lcs_norm"))
+        graft.expr.functions.lcs_len(col("t_a"), col("t_b")).as("lcs_len"),
+        least(length(col("t_a")), length(col("t_b"))).cast("long").as("minlen"))
+      .filter(col("lcs_len") >= w)
+      .select(col("a"), col("b"),
+        (col("lcs_len").cast("double") / col("minlen")).as("lcs_norm"))
   }
 
   /** Pairs co-blocked by RARE suffix-pass keys — the provenance the north

@@ -154,6 +154,80 @@ object Exprs {
       copy(left = l, right = r)
   }
 
+  /** Longest-common-substring length of two strings (code-point units) —
+    * the codegen'd verify kernel of the suffix-pass LCS queries: for a
+    * candidate pair KNOWN to share a w-char window, the diagonal-run
+    * identity (LCS = w-1 + longest run of shared aligned windows) equals
+    * the direct DP, so one static call replaces the exploded window
+    * equi-joins + run-walk aggregation (guide §2.4: remove shuffles
+    * outright; OpsSpec pins identity == DP by property test). */
+  case class LcsLen(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.lcsLen(
+        a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $K.lcsLen($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): LcsLen =
+      copy(left = l, right = r)
+  }
+
+  /** Integer dot product of two ARRAY<BIGINT> columns, with the exact null
+    * semantics of `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, +)`: a length
+    * mismatch (zip_with null-padding) yields SQL NULL. Codegen'd so the
+    * ANN/embedding cosine re-rank stays out of interpreted HOF evaluation. */
+  case class DotI64(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val aa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val bb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (aa.numElements() != bb.numElements()) null else Kernels.dotI64(aa, bb)
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $K.dotI64($a, $b); }""".stripMargin)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotI64 =
+      copy(left = l, right = r)
+  }
+
+  /** Integer squared L2 distance of two ARRAY<BIGINT> columns, with the
+    * exact null semantics of the zip_with/aggregate form (length mismatch
+    * -> SQL NULL), codegen'd for the ANN re-rank loop. */
+  case class DistSqI64(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val aa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val bb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (aa.numElements() != bb.numElements()) null else Kernels.distSqI64(aa, bb)
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $K.distSqI64($a, $b); }""".stripMargin)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DistSqI64 =
+      copy(left = l, right = r)
+  }
+
+  /** Integer sum of squares of an ARRAY<BIGINT> column
+    * (== `aggregate(a, 0L, (acc,x) -> acc + x*x)`), codegen'd. */
+  case class Norm2I64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any): Any =
+      Kernels.norm2I64(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $K.norm2I64($c);")
+    override protected def withNewChildInternal(newChild: Expression): Norm2I64 =
+      copy(child = newChild)
+  }
+
   /** Sampled fixed-width suffix keys — the scale-safe `suffixArray`
     * (`predicate_functions.py:142-147`) variant, SURVEY.md §7.5(4). */
   case class SuffixKeys(child: Expression, width: Int, every: Int, seed: Long)
@@ -187,4 +261,8 @@ object functions {
   def hamming64(a: Column, b: Column): Column = col(Hamming64(ex(a), ex(b)))
   def suffix_keys(c: Column, width: Int, every: Int, seed: Long = 42L): Column =
     col(SuffixKeys(ex(c), width, every, seed))
+  def lcs_len(a: Column, b: Column): Column = col(LcsLen(ex(a), ex(b)))
+  def dot_i64(a: Column, b: Column): Column = col(DotI64(ex(a), ex(b)))
+  def dist_sq_i64(a: Column, b: Column): Column = col(DistSqI64(ex(a), ex(b)))
+  def norm2_i64(a: Column): Column = col(Norm2I64(ex(a)))
 }

@@ -308,12 +308,13 @@ object PipelineOps {
     * the DuckDB oracle replicates the identical multiprobe candidate set). */
   def annTopK(s: SparkSession, dir: String): DataFrame = {
     val e = annIndexed(s, dir)
+    // dist2 via the codegen'd integer kernel (zip_with-identical null
+    // semantics) — the interpreted HOF chain was the per-candidate hot loop
     val dist = annCandidates(e)
       .join(e.select(col("vec_id").as("query_id"), col("q").as("qv")), Seq("query_id"))
       .join(e.select(col("vec_id").as("neighbor_id"), col("q").as("nv")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        expr("aggregate(zip_with(qv, nv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
-          .as("dist2"))
+        graft.expr.functions.dist_sq_i64(col("qv"), col("nv")).as("dist2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("dist2").asc, col("neighbor_id").asc)
     dist.withColumn("rnk", row_number().over(w))
@@ -361,15 +362,20 @@ object PipelineOps {
     * multimodal flow ([[Multimodal.extract]] features → [[indexEmbeddings]]
     * cells → same-cell pairs). */
   def embedCosinePairs(embeddings: DataFrame, minCosQ: Long): DataFrame = {
+    // norms precomputed ONCE per vector (not once per pair side), and the
+    // pairwise dot is a codegen'd integer kernel with zip_with-identical
+    // null semantics — the interpreted HOF aggregates were the per-pair
+    // hot loop (guide order-of-operations step 2: per-task work). Values
+    // are bit-identical: same exact long sums, same double ops.
     val e = indexEmbeddings(embeddings)
-    val a = e.select(col("cell"), col("vec_id").as("id_a"), col("q").as("qa"))
-    val b = e.select(col("cell"), col("vec_id").as("id_b"), col("q").as("qb"))
+      .withColumn("n2", graft.expr.functions.norm2_i64(col("q")))
+    val a = e.select(col("cell"), col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("n2a"))
+    val b = e.select(col("cell"), col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("n2b"))
     a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         floor(lit(100000.0) * least(lit(1.0),
-          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").cast("double") /
-            (sqrt(expr("aggregate(qa, 0L, (acc, x) -> acc + x * x)").cast("double")) *
-              sqrt(expr("aggregate(qb, 0L, (acc, x) -> acc + x * x)").cast("double")))))
+          graft.expr.functions.dot_i64(col("qa"), col("qb")).cast("double") /
+            (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double")))))
           .cast("long").as("cos_q"))
       .filter(col("cos_q") >= minCosQ)
   }
@@ -572,36 +578,19 @@ object PipelineOps {
         col("a.win") === col("b.win") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // exact verify for the bounded candidate set: join each pair's FULL
-    // window lists (hot ones included, so the LCS itself is exact) keyed by
-    // (pair id, window) — per-pair work O(windows/doc), never all-pairs
-    val pa = cand
-      .join(wins.select(col("doc_id").as("id_a"), col("i"), col("win")), Seq("id_a"))
-    val pr = pa
-      .join(wins.select(col("doc_id").as("id_b"), col("i").as("j"), col("win")),
-        Seq("id_b", "win"))
-      .select(col("id_a"), col("id_b"), col("i"), col("j"))
-    // gaps-and-islands in ONE shuffle: per pair, walk the (diag, i) match
-    // points in sorted order and keep the longest same-diag consecutive-i
-    // run (a window + two groupBys cost three shuffles for the same answer;
-    // per-pair point counts are bounded by the 27-window prefix, so the
-    // collected list stays tiny)
-    pr.withColumn("diag", col("i") - col("j"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(collect_list(struct(col("diag"), col("i"))).as("pts"))
-      .select(col("id_a"), col("id_b"), expr(s"""
-        aggregate(
-          array_sort(pts),
-          named_struct('pd', -2147483648, 'pi', -2147483648,
-                       'run', cast(0 as bigint), 'best', cast(0 as bigint)),
-          (acc, x) -> named_struct(
-            'pd', x.diag, 'pi', x.i,
-            'run', CASE WHEN x.diag = acc.pd AND x.i = acc.pi + 1
-                        THEN acc.run + cast(1 as bigint) ELSE cast(1 as bigint) END,
-            'best', greatest(acc.best,
-              CASE WHEN x.diag = acc.pd AND x.i = acc.pi + 1
-                   THEN acc.run + cast(1 as bigint) ELSE cast(1 as bigint) END)),
-          acc -> acc.best + cast(${w - 1} as bigint))""").as("lcs_len"))
+    // exact verify for the bounded candidate set: every candidate pair
+    // shares a w-window, so its longest common substring is >= w and the
+    // diagonal-run identity (w - 1 + longest run of shared aligned windows)
+    // equals the direct DP longest-common-substring length — pinned by the
+    // OpsSpec property test. One codegen'd kernel call per pair over the
+    // 32-char prefixes replaces the r5 exploded window equi-joins
+    // (cand × ~27 windows/side, two extra shuffles) + the collect_list
+    // run-walk aggregation (guide §2.4: remove shuffles outright).
+    cand
+      .join(d.select(col("doc_id").as("id_a"), col("t").as("t_a")), Seq("id_a"))
+      .join(d.select(col("doc_id").as("id_b"), col("t").as("t_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.expr.functions.lcs_len(col("t_a"), col("t_b")).as("lcs_len"))
   }
 
   /** The flagship's blended score — `greatest(jaccard, lcs_norm)` on the
