@@ -81,7 +81,8 @@ object BenchExtra {
       }
     }
 
-    // deep probe of the pairs/scored internals: row counts + sub-timings
+    // deep probe of the pairs/scored internals: row counts + sub-timings,
+    // isolated by persisting each boundary (current pipeline shape)
     if (args.contains("--probe")) {
       val cfg = graft.dedup.DedupConfig()
       import org.apache.spark.sql.functions._
@@ -90,38 +91,35 @@ object BenchExtra {
       val pages = graft.data.WebText.benchCorpus(spark, sfDir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pages.count()
+      val t = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val c = scala.collection.mutable.LinkedHashMap[String, Long]()
       val normalized = pages.select($"url", xxhash64($"url").as("nid"),
         graft.expr.functions.normalize_text($"text").as("text"))
+      t("collision_check") = time {
+        val r = normalized.agg(countDistinct($"nid"), countDistinct($"url")).head()
+        require(r.getLong(0) == r.getLong(1))
+      }
       val sigs = graft.dedup.Blocking.signatures(
         normalized.filter($"text".isNotNull).select($"nid", $"text"), cfg, idCol = "nid")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("signatures_mat") = time { noop(sigs) }
       val nDocs = sigs.count()
-      val t = scala.collection.mutable.LinkedHashMap[String, Double]()
-      val c = scala.collection.mutable.LinkedHashMap[String, Long]()
-      val keys = graft.dedup.Blocking.blockKeys(sigs, cfg, idCol = "nid")
+      val keys = graft.dedup.Blocking.blockKeys(sigs, cfg, idCol = "nid", carryFp = true)
       t("keys_noop") = time { noop(keys) }
-      c("n_keys") = keys.count()
       val cap = graft.dedup.Blocking.hotKeyCap(nDocs, cfg)
       val counts = keys.groupBy($"key").agg(count(lit(1)).as("df"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       t("counts") = time { c("n_distinct_keys") = counts.count() }
-      c("n_hot") = counts.filter($"df" > cap).count()
-      c("sum_df2_kept") = counts.filter($"df" <= cap)
-        .agg(sum(expr("df * (df - 1) div 2"))).head().getLong(0)
       val hot = counts.filter($"df" > cap).select($"key")
       val kept = keys.join(broadcast(hot), Seq("key"), "left_anti")
-      val pairs = kept.as("x").join(kept.as("y"),
-        col("x.key") === col("y.key") && col("x.nid") < col("y.nid"))
+      val pairs = kept.as("x").join(kept.as("y").hint("shuffle_hash"),
+        col("x.key") === col("y.key") && col("x.nid") < col("y.nid") &&
+          graft.expr.functions.hamming64(col("x.fp"), col("y.fp")) <= cfg.scoreMaxHamming)
         .select(col("x.nid").as("a"), col("y.nid").as("b"))
-      t("pairs_noop") = time { noop(pairs) }
-      val fp = sigs.select($"nid".as("sid"), $"simhash")
-      val pre = pairs
-        .join(fp.withColumnRenamed("sid", "a").withColumnRenamed("simhash", "h_a"), Seq("a"))
-        .join(fp.withColumnRenamed("sid", "b").withColumnRenamed("simhash", "h_b"), Seq("b"))
-        .filter(graft.expr.functions.hamming64($"h_a", $"h_b") <= cfg.scoreMaxHamming)
-        .select($"a", $"b")
-      t("prefilter_noop") = time { noop(pre) }
-      val surv = pre.distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("pairs_join_mat") = time { c("n_pairs_prefiltered") = pairs.count() }
+      val surv = pairs.distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       t("survivors_distinct") = time { c("n_survivors") = surv.count() }
       val sh = sigs.select($"nid".as("sid"), $"shingles").hint("shuffle_hash")
       val jac = surv
@@ -130,7 +128,25 @@ object BenchExtra {
         .select($"a", $"b", graft.expr.functions.jaccard_sorted($"sh_a", $"sh_b").as("jac"))
         .filter($"jac" > cfg.minScore)
       t("verify_noop") = time { noop(jac) }
-      c("n_scored") = jac.count()
+      // ALTERNATIVE pair-gen shape: hot-key filter via a window count over
+      // the join's own exchange (no counts aggregation, no broadcast, no
+      // eager stats job) — timed against the production shape above.
+      val w2 = org.apache.spark.sql.expressions.Window.partitionBy($"key")
+      val keptW = keys.withColumn("df", count(lit(1)).over(w2))
+        .filter($"df" <= cap).drop("df")
+      val pairsW = keptW.as("x").join(keptW.as("y"),
+        col("x.key") === col("y.key") && col("x.nid") < col("y.nid") &&
+          graft.expr.functions.hamming64(col("x.fp"), col("y.fp")) <= cfg.scoreMaxHamming)
+        .select(col("x.nid").as("a"), col("y.nid").as("b"))
+      t("pairs_window_shape_noop") = time { noop(pairsW) }
+      t("pairs_current_shape_noop") = time {
+        val kept2 = keys.join(broadcast(counts.filter($"df" > cap).select($"key")),
+          Seq("key"), "left_anti")
+        noop(kept2.as("x").join(kept2.as("y").hint("shuffle_hash"),
+          col("x.key") === col("y.key") && col("x.nid") < col("y.nid") &&
+            graft.expr.functions.hamming64(col("x.fp"), col("y.fp")) <= cfg.scoreMaxHamming)
+          .select(col("x.nid").as("a"), col("y.nid").as("b")))
+      }
       println("PROBE counts " + c.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
       println("PROBE times " + t.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}"))
       spark.stop(); return
@@ -177,11 +193,22 @@ object BenchExtra {
       var labeled: DataFrame = null
       st("components") = time {
         labeled = graft.dedup.ConnectedComponents.withRefilter(scored, cfg.maxComponents)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         noop(labeled)
       }
-      st("clusters") = time {
-        val clustered = graft.dedup.ClusterStage.clusterComponents(labeled, cfg.threshold, cfg.maxComponents)
-        val withSingles = graft.dedup.ClusterStage.addSingletons(normalized.select($"nid"), clustered)
+      var clustered: org.apache.spark.sql.Dataset[graft.dedup.ClusterStage.ClusterRow] = null
+      st("cluster_components") = time {
+        clustered = graft.dedup.ClusterStage.clusterComponents(labeled, cfg.threshold, cfg.maxComponents)
+        clustered = clustered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        noop(clustered.toDF())
+      }
+      var withSingles: DataFrame = null
+      st("add_singletons") = time {
+        withSingles = graft.dedup.ClusterStage.addSingletons(normalized.select($"nid"), clustered)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        noop(withSingles)
+      }
+      st("to_urls") = time {
         noop(graft.dedup.ClusterStage.toUrls(withSingles, normalized.select($"nid", $"url")))
       }
       println("STAGES " + st.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -38,25 +38,43 @@ object ClusterStage {
                         maxComponents: Int = 30000): Dataset[ClusterRow] = {
     val spark = labeled.sparkSession
     import spark.implicits._
-    labeled
+    def clusterOne(edges: Seq[Edge[Long]]): Iterator[ClusterRow] = {
+      if (maxComponents > 0) {
+        val nNodes = edges.iterator.flatMap(e => Iterator(e.a, e.b)).toSet.size
+        if (nNodes > maxComponents) throw new IllegalStateException(
+          s"component of $nNodes nodes exceeds maxComponents=$maxComponents — " +
+            "the condensed distance matrix would need " +
+            s"~${nNodes.toLong * (nNodes - 1) / 2 * 8 / (1 << 20)} MB in one task; " +
+            "run ConnectedComponents.withRefilter first (Pipeline does)")
+      }
+      LocalClustering.clusterComponent(edges, threshold).iterator.flatMap { c =>
+        val clusterId = c.members.min
+        c.members.zip(c.confidences).map { case (m, conf) => ClusterRow(m, clusterId, conf) }
+      }
+    }
+    val typed = labeled
       .select($"a", $"b", $"score".cast("float").as("score"), $"comp")
       .as[LabeledEdge]
-      .groupByKey(_.comp)
-      .flatMapGroups { (_, it) =>
-        val edges = it.map(e => Edge(e.a, e.b, e.score.toDouble)).toSeq
-        if (maxComponents > 0) {
-          val nNodes = edges.iterator.flatMap(e => Iterator(e.a, e.b)).toSet.size
-          if (nNodes > maxComponents) throw new IllegalStateException(
-            s"component of $nNodes nodes exceeds maxComponents=$maxComponents — " +
-              "the condensed distance matrix would need " +
-              s"~${nNodes.toLong * (nNodes - 1) / 2 * 8 / (1 << 20)} MB in one task; " +
-              "run ConnectedComponents.withRefilter first (Pipeline does)")
-        }
-        LocalClustering.clusterComponent(edges, threshold).iterator.flatMap { c =>
-          val clusterId = c.members.min
-          c.members.zip(c.confidences).map { case (m, conf) => ClusterRow(m, clusterId, conf) }
-        }
-      }
+    labeled.queryExecution.optimizedPlan match {
+      // Driver-local fast path (r6): when the refilter ran its local path
+      // (edge list under [[ConnectedComponents.LocalEdgeThreshold]]) the
+      // labeled edges are already a driver-side LocalRelation — re-grouping
+      // them through a groupByKey shuffle + flatMapGroups costs an exchange
+      // and a typed ser/deser round-trip for data the driver already holds.
+      // Same kernel per component (order-insensitive, determinism
+      // spec-pinned), one parallelize of the result instead.
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val rows = typed.collect().groupBy(_.comp).iterator.flatMap { case (_, es) =>
+          clusterOne(es.iterator.map(e => Edge(e.a, e.b, e.score.toDouble)).toSeq)
+        }.toSeq
+        spark.createDataset(rows)
+      case _ =>
+        typed
+          .groupByKey(_.comp)
+          .flatMapGroups { (_, it) =>
+            clusterOne(it.map(e => Edge(e.a, e.b, e.score.toDouble)).toSeq)
+          }
+    }
   }
 
   /** Singleton completion: every page not in any cluster becomes its own
@@ -70,6 +88,23 @@ object ClusterStage {
       .join(clustered.select($"nid"), Seq("nid"), "left_anti")
       .select($"nid", $"nid".as("cluster_nid"), lit(1.0).as("confidence"))
     clustered.toDF().unionAll(singles)
+  }
+
+  /** Fused [[addSingletons]] + [[toUrls]] (r6, guide §2.4): one LEFT join of
+    * the (nid, url) table against the cluster rows replaces the anti-join +
+    * union + inner join — pages missing from `clustered` coalesce to their
+    * own singleton cluster in the same pass. Row-for-row identical output
+    * (each nid appears in at most one cluster row, each exactly once in
+    * `ids`). */
+  def completeAndLabel(ids: DataFrame, clustered: Dataset[ClusterRow]): DataFrame = {
+    val byNid = ids.join(clustered.toDF(), Seq("nid"), "left")
+      .select(col("url"),
+        coalesce(col("cluster_nid"), col("nid")).as("cluster_nid"),
+        coalesce(col("confidence"), lit(1.0)).as("confidence"))
+    val clusterName = byNid.groupBy(col("cluster_nid"))
+      .agg(min(col("url")).as("cluster_id"))
+    byNid.join(clusterName, Seq("cluster_nid"))
+      .select(col("url"), col("cluster_id"), col("confidence"))
   }
 
   /** Map compact-id cluster rows back to urls; the public cluster_id is the

@@ -186,8 +186,9 @@ object Pipeline {
     // urls with the lexicographically-smallest-member cluster id
     val clusters = stage("clusters") {
       val clustered = ClusterStage.clusterComponents(labeled, cfg.threshold, cfg.maxComponents)
-      val withSingles = ClusterStage.addSingletons(normalized.select($"nid"), clustered)
-      ClusterStage.toUrls(withSingles, normalized.select($"nid", $"url"))
+      // singleton completion + url labeling fused into one left join
+      // (ClusterStage.completeAndLabel) — same rows as addSingletons+toUrls
+      ClusterStage.completeAndLabel(normalized.select($"nid", $"url"), clustered)
     }
     record("clusters", clusters)
 
