@@ -43,17 +43,23 @@ object PipelineOps {
 
   /** Per-doc 8-function MinHash signature over word tokens, portable across
     * engines (md5-based hashes) — the LSH analogue of the TfidfPredicate
-    * family (predicates.py:276-325). Output one row per (doc, hash index). */
+    * family (predicates.py:276-325). Output one row per (doc, hash index).
+    *
+    * r6 shape (the r5 `dedup_ngram_jaccard` single-aggregation fix applied
+    * here too): the 8 mins are agg COLUMNS of one groupBy over the token
+    * rows — no 8-way explode, so the aggregation shuffles 1/8th the rows —
+    * then posexplode restores the oracle-checked (doc_id, j, mh) layout. */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    minhashSigsFromTokens(distinctTokens(s, dir))
+    minhashWide(distinctTokens(s, dir))
+      .select(col("doc_id"),
+        posexplode(array((0 to 7).map(j => col(s"mh$j")): _*)).as(Seq("j", "mh")))
 
-  private def minhashSigsFromTokens(tok: DataFrame): DataFrame =
-    tok.select(col("doc_id"), col("tok"),
-      explode(sequence(lit(0), lit(7))).as("j"))
-      .select(col("doc_id"), col("j"),
-        h60(concat_ws("#", col("tok"), col("j").cast("string"))).as("h"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(col("h")).as("mh"))
+  /** One wide aggregation: (doc_id, mh0..mh7). */
+  private def minhashWide(tok: DataFrame): DataFrame = {
+    val mhs = (0 to 7).map(j =>
+      min(h60(concat_ws("#", col("tok"), lit(j.toString)))).as(s"mh$j"))
+    tok.groupBy(col("doc_id")).agg(mhs.head, mhs.tail: _*)
+  }
 
   /** Band-key document-frequency cap for the catalog LSH self-join — the
     * canopy stop-word rule (`canopy_index.py:25`) scaled to the oracle-SF
@@ -67,18 +73,24 @@ object PipelineOps {
     * broadcast anti-join BEFORE the self-join (the same stop-word rule as the
     * flagship [[graft.dedup.Blocking]]), so a boilerplate-heavy key can never
     * make the join near-quadratic. */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    lshPairsFromSigs(minhashSignatures(s, dir))
-
-  private def lshPairsFromSigs(sigs: DataFrame): DataFrame = {
-    val sig = sigs.withColumn("band", (col("j") / 4).cast("int"))
-    val bandKey = sig.groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws(",", sort_array(collect_list(
-        concat_ws(":", col("j").cast("string"), col("mh").cast("string"))))).as("bk"))
-    val hot = bandKey.groupBy(col("band"), col("bk"))
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // band keys built straight from the wide signature row (r6): the
+    // (doc, j)-exploded layout + collect_list re-aggregation shuffled the
+    // signature table twice for strings the wide row already determines.
+    // Key strings are IDENTICAL: sort_array over the same "j:mh" members.
+    val wide = minhashWide(distinctTokens(s, dir))
+    def bandKey(band: Int) = concat_ws(",", sort_array(array(
+      (4 * band until 4 * band + 4).map(j =>
+        concat_ws(":", lit(j.toString), col(s"mh$j").cast("string"))): _*)))
+    val bandRows = wide.select(col("doc_id"),
+      explode(array(
+        struct(lit(0).as("band"), bandKey(0).as("bk")),
+        struct(lit(1).as("band"), bandKey(1).as("bk")))).as("s"))
+      .select(col("doc_id"), col("s.band").as("band"), col("s.bk").as("bk"))
+    val hot = bandRows.groupBy(col("band"), col("bk"))
       .agg(count(lit(1)).as("df")).filter(col("df") > LshHotKeyCap)
       .select(col("band"), col("bk"))
-    val kept = bandKey.join(broadcast(hot), Seq("band", "bk"), "left_anti")
+    val kept = bandRows.join(broadcast(hot), Seq("band", "bk"), "left_anti")
     kept.as("a").join(kept.as("b"),
       col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -93,17 +105,17 @@ object PipelineOps {
     simhash16FromTokens(distinctTokens(s, dir))
 
   private def simhash16FromTokens(toks: DataFrame): DataFrame = {
+    // one aggregation with 16 vote columns (r6, the ngram-jaccard shape):
+    // the 16-way bit explode + two groupBys shuffled 16x the rows for sums
+    // the wide row expresses directly. Same ±1 integer votes, same result.
     val tok = toks.select(col("doc_id"), h60(col("tok")).as("h"))
-    val bits = tok.select(col("doc_id"), col("h"),
-      explode(sequence(lit(0), lit(15))).as("b"))
-      .select(col("doc_id"), col("b"),
-        (expr("(h >> b) & 1") * 2 - 1).as("v"))
-    // per (doc, bit): sum of +-1 votes -> bit set iff positive
-    bits.groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("v")).as("vote"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, cast(b as int))")).otherwise(0L))
-        .as("simhash"))
+    val votes = (0 to 15).map(b =>
+      sum(expr(s"((h >> $b) & 1) * 2 - 1")).as(s"v$b"))
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 to 15).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
   }
 
   // -------------------------------------------------- n-gram jaccard dedup
