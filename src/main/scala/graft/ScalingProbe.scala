@@ -50,15 +50,16 @@ object ScalingProbe {
       normalized.filter($"text".isNotNull).select($"nid", $"text"), cfg, idCol = "nid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = time("signatures")(sigs.count())
-    val keys = graft.dedup.Blocking.blockKeys(sigs, cfg, idCol = "nid")
+    val keys = graft.dedup.Blocking.blockKeys(sigs, cfg, idCol = "nid", carryFp = true)
     val pairs = time("pairs") {
-      val res = graft.dedup.Blocking.candidatePairs(keys, nDocs, cfg, idCol = "nid", dedup = false)
+      val res = graft.dedup.Blocking.candidatePairs(keys, nDocs, cfg, idCol = "nid",
+        dedup = false, maxHamming = cfg.scoreMaxHamming)
       res.pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
       res.pairs
     }
     val scored = time("scoring") {
       val sc = graft.dedup.Scoring.scorePairs(pairs, sigs, idCol = "nid",
-        minScore = cfg.minScore, maxHamming = cfg.scoreMaxHamming, dedupePairs = true)
+        minScore = cfg.minScore, maxHamming = 64, dedupePairs = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sc.count(); sc
     }
@@ -69,8 +70,8 @@ object ScalingProbe {
     }
     time("clustering") {
       val clustered = graft.dedup.ClusterStage.clusterComponents(labeled, cfg.threshold)
-      val withSingles = graft.dedup.ClusterStage.addSingletons(normalized.select($"nid"), clustered)
-      graft.dedup.ClusterStage.toUrls(withSingles, normalized.select($"nid", $"url")).count()
+      graft.dedup.ClusterStage.completeAndLabel(
+        normalized.select($"nid", $"url"), clustered).count()
     }
     System.err.println(s"[probe] docs=$nDocs0 pairsCached")
     spark.stop()

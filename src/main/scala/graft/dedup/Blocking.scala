@@ -119,7 +119,16 @@ object Blocking {
   private def tagged(k: org.apache.spark.sql.Column, tag: Long): org.apache.spark.sql.Column =
     xxhash64(k, lit(tag))
 
-  final case class BlockingResult(pairs: DataFrame, hotKeysDropped: Long, totalKeys: Long)
+  /** Pair stream + hot-key statistics. The stats are LAZY (r6): computing
+    * them is a separate driver job over the counts table, and the flagship
+    * bench path never reads them (Pipeline records metrics only when a
+    * workDir is set) — eager stats taxed every run for a metric nobody
+    * consumed. First access runs one small agg over the cached counts. */
+  final class BlockingResult(val pairs: DataFrame, stats: () => (Long, Long)) {
+    private lazy val s = stats()
+    lazy val hotKeysDropped: Long = s._1
+    lazy val totalKeys: Long = s._2
+  }
 
   /** Effective hot-key cap: the canopy stop-word rule max(1000, 5%·N)
     * (`canopy_index.py:25`) bounded by an absolute ceiling so a bucket's
@@ -152,11 +161,12 @@ object Blocking {
     // Per-key document frequency: partial-aggregated count, one pass.
     val counts = keys.groupBy($"key").agg(count(lit(1)).as("df"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val stats = counts.agg(
-      sum(when($"df" > cap, 1L).otherwise(0L)).as("hot"),
-      count(lit(1)).as("total")).head()
-    val hotCount = stats.getLong(0)
-    val totalKeys = stats.getLong(1)
+    def stats(): (Long, Long) = {
+      val r = counts.agg(
+        sum(when($"df" > cap, 1L).otherwise(0L)).as("hot"),
+        count(lit(1)).as("total")).head()
+      (r.getLong(0), r.getLong(1))
+    }
     val hot = counts.filter($"df" > cap).select($"key")
 
     // hot keys dropped BEFORE any pair generation (stop-word rule):
@@ -189,7 +199,7 @@ object Blocking {
 
     // `dedup = false` defers the global distinct to after the (cheap,
     // broadcast) SimHash prefilter in Scoring — dedup-ing 10-100x fewer rows
-    BlockingResult(if (dedup) pairs.distinct() else pairs, hotCount, totalKeys)
+    new BlockingResult(if (dedup) pairs.distinct() else pairs, () => stats())
   }
 
   /** Full blocking stage: pages -> candidate pairs + signature table. */

@@ -161,7 +161,8 @@ object Pipeline {
       // distinct deferred to post-prefilter in the scoring stage
       val res = Blocking.candidatePairs(keys, nDocs, cfg, idCol = "nid", dedup = false,
         maxHamming = if (inJoinPrefilter) cfg.scoreMaxHamming else 64)
-      hotDropped = res.hotKeysDropped
+      // stats are lazy — only pay their driver job when metrics are recorded
+      if (workDir.isDefined) hotDropped = res.hotKeysDropped
       res.pairs
     }
     record("pairs", pairs, hotDropped)

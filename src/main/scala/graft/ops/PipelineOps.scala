@@ -44,17 +44,19 @@ object PipelineOps {
   /** Per-doc 8-function MinHash signature over word tokens, portable across
     * engines (md5-based hashes) — the LSH analogue of the TfidfPredicate
     * family (predicates.py:276-325). Output one row per (doc, hash index).
-    *
-    * r6 shape (the r5 `dedup_ngram_jaccard` single-aggregation fix applied
-    * here too): the 8 mins are agg COLUMNS of one groupBy over the token
-    * rows — no 8-way explode, so the aggregation shuffles 1/8th the rows —
-    * then posexplode restores the oracle-checked (doc_id, j, mh) layout. */
+    * (Kept in the exploded shape: an A/B against the wide-aggregation form
+    * measured the 8-column min agg ~2x slower for THIS query — the wide
+    * shape pays off only when the band keys are consumed wide, as in
+    * [[dedupMinhashLsh]].) */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame =
-    minhashWide(distinctTokens(s, dir))
-      .select(col("doc_id"),
-        posexplode(array((0 to 7).map(j => col(s"mh$j")): _*)).as(Seq("j", "mh")))
+    distinctTokens(s, dir).select(col("doc_id"), col("tok"),
+      explode(sequence(lit(0), lit(7))).as("j"))
+      .select(col("doc_id"), col("j"),
+        h60(concat_ws("#", col("tok"), col("j").cast("string"))).as("h"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(col("h")).as("mh"))
 
-  /** One wide aggregation: (doc_id, mh0..mh7). */
+  /** One wide aggregation: (doc_id, mh0..mh7) — feeds the LSH band keys. */
   private def minhashWide(tok: DataFrame): DataFrame = {
     val mhs = (0 to 7).map(j =>
       min(h60(concat_ws("#", col("tok"), lit(j.toString)))).as(s"mh$j"))
