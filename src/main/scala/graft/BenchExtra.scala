@@ -96,8 +96,10 @@ object BenchExtra {
       val normalized = pages.select($"url", xxhash64($"url").as("nid"),
         graft.expr.functions.normalize_text($"text").as("text"))
       t("collision_check") = time {
-        val r = normalized.agg(countDistinct($"nid"), countDistinct($"url")).head()
-        require(r.getLong(0) == r.getLong(1))
+        val bad = normalized.groupBy($"nid")
+          .agg(min($"url").as("u1"), max($"url").as("u2"))
+          .filter($"u1" =!= $"u2").count()
+        require(bad == 0)
       }
       val sigs = graft.dedup.Blocking.signatures(
         normalized.filter($"text".isNotNull).select($"nid", $"text"), cfg, idCol = "nid")
@@ -166,8 +168,10 @@ object BenchExtra {
       val normalized = pages.select($"url", xxhash64($"url").as("nid"),
         graft.expr.functions.normalize_text($"text").as("text"))
       st("normalize+collision") = time {
-        val r = normalized.agg(countDistinct($"nid"), countDistinct($"url")).head()
-        require(r.getLong(0) == r.getLong(1))
+        val bad = normalized.groupBy($"nid")
+          .agg(min($"url").as("u1"), max($"url").as("u2"))
+          .filter($"u1" =!= $"u2").count()
+        require(bad == 0)
       }
       val sigs = graft.dedup.Blocking.signatures(
         normalized.filter($"text".isNotNull).select($"nid", $"text"), cfg, idCol = "nid")

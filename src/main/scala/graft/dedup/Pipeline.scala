@@ -130,11 +130,16 @@ object Pipeline {
           graft.expr.functions.normalize_text($"text").as("text"))
     }
     if (!cfg.exactIds) {
-      // collision guard: a silent xxhash64 merge corrupts clusters; fail loud
-      val r = normalized.agg(
-        countDistinct($"nid").as("n_nid"), countDistinct($"url").as("n_url")).head()
-      require(r.getLong(0) == r.getLong(1),
-        s"xxhash64(url) record-id collision (${r.getLong(1)} urls -> ${r.getLong(0)} ids); " +
+      // collision guard: a silent xxhash64 merge corrupts clusters; fail
+      // loud. A collision == some nid maps to two DISTINCT urls, detected
+      // with one ordinary aggregation (min(url) != max(url) per nid) — the
+      // r1-r5 double countDistinct needed an Expand over the corpus twice
+      // for the same answer (guide §2.3: aggregate cheaper, same result).
+      val bad = normalized.groupBy($"nid")
+        .agg(min($"url").as("u1"), max($"url").as("u2"))
+        .filter($"u1" =!= $"u2").count()
+      require(bad == 0,
+        s"xxhash64(url) record-id collision ($bad colliding ids); " +
           "rerun with DedupConfig(exactIds = true)")
     }
 
