@@ -58,6 +58,16 @@ object PlanDump {
       java.nio.file.Paths.get(s"$outDir/dedup_pipeline_scored.txt"),
       scored.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+    // cluster labeling stage (completeAndLabel) over a stand-in clustered set
+    val clustered = spark.createDataset(Seq(
+      graft.dedup.ClusterStage.ClusterRow(1L, 1L, 0.9),
+      graft.dedup.ClusterStage.ClusterRow(2L, 1L, 0.9)))
+    val labelStage = graft.dedup.ClusterStage.completeAndLabel(
+      normalized.select($"nid", $"url"), clustered)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/dedup_pipeline_label.txt"),
+      labelStage.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -159,6 +159,12 @@ object Blocking {
     // reference needs a unique (record_id, block_key) index (api.py:273-276)
     // only because its predicates can re-emit; no global distinct here.
     // Per-key document frequency: partial-aggregated count, one pass.
+    // The persist is LOAD-BEARING beyond the lazy stats(): it truncates the
+    // plan under every reference to `hot`, so the anti-join's broadcast
+    // build reads ~7M cached (key, df) rows instead of re-inlining the
+    // full explode+aggregate subtree into each consumer (removing it was
+    // A/B-measured in r6: pairs stage 8.2 s -> 37.3 s — a kept negative
+    // result; see OPTIMIZATION_r06.md).
     val counts = keys.groupBy($"key").agg(count(lit(1)).as("df"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     def stats(): (Long, Long) = {

@@ -101,10 +101,16 @@ object ClusterStage {
       .select(col("url"),
         coalesce(col("cluster_nid"), col("nid")).as("cluster_nid"),
         coalesce(col("confidence"), lit(1.0)).as("confidence"))
-    val clusterName = byNid.groupBy(col("cluster_nid"))
-      .agg(min(col("url")).as("cluster_id"))
-    byNid.join(clusterName, Seq("cluster_nid"))
-      .select(col("url"), col("cluster_id"), col("confidence"))
+    // Cluster naming as a window min over ONE pass of byNid (r6, guide §2.4):
+    // the groupBy + rejoin shape evaluated the ids⋈clustered join subtree
+    // twice (Spark has no cross-branch subplan sharing) and paid an extra
+    // join; min(url) over the cluster partition attaches the same
+    // lexicographically-smallest member url row-for-row. Window partitions
+    // are bounded by maxComponents (plus size-1 singletons), so no
+    // mega-partition task exists at any corpus size.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_nid"))
+    byNid.select(col("url"), min(col("url")).over(w).as("cluster_id"),
+      col("confidence"))
   }
 
   /** Map compact-id cluster rows back to urls; the public cluster_id is the

@@ -129,26 +129,39 @@ object Pipeline {
         pages.select($"url", xxhash64($"url").as("nid"),
           graft.expr.functions.normalize_text($"text").as("text"))
     }
-    if (!cfg.exactIds) {
-      // collision guard: a silent xxhash64 merge corrupts clusters; fail
-      // loud. A collision == some nid maps to two DISTINCT urls, detected
-      // with one ordinary aggregation (min(url) != max(url) per nid) — the
-      // r1-r5 double countDistinct needed an Expand over the corpus twice
-      // for the same answer (guide §2.3: aggregate cheaper, same result).
-      val bad = normalized.groupBy($"nid")
-        .agg(min($"url").as("u1"), max($"url").as("u2"))
-        .filter($"u1" =!= $"u2").count()
-      require(bad == 0,
-        s"xxhash64(url) record-id collision ($bad colliding ids); " +
-          "rerun with DedupConfig(exactIds = true)")
-    }
+    // collision guard: a silent xxhash64 merge corrupts clusters; fail
+    // loud. A collision == some nid maps to two DISTINCT urls, detected
+    // with one ordinary aggregation (min(url) != max(url) per nid) — the
+    // r1-r5 double countDistinct needed an Expand over the corpus twice
+    // for the same answer (guide §2.3: aggregate cheaper, same result).
+    // Launched as a CONCURRENT action (guide §2.6): it reads only `pages`,
+    // so its small job back-fills executors while the signature stage
+    // materializes below; it is awaited — and its require fails the run —
+    // BEFORE any pair state is built or checkpointed.
+    val collisionF: Option[scala.concurrent.Future[Long]] =
+      if (cfg.exactIds) None
+      else Some(scala.concurrent.Future {
+        normalized.groupBy($"nid")
+          .agg(min($"url").as("u1"), max($"url").as("u2"))
+          .filter($"u1" =!= $"u2").count()
+      }(scala.concurrent.ExecutionContext.global))
 
     // 2. signatures (persisted: feeds block keys, doc count and scoring)
     val sigs = stage("signatures") {
       Blocking.signatures(normalized.filter($"text".isNotNull)
         .select($"nid", $"text"), cfg, idCol = "nid")
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materializes the signature cache (the doc count feeds the hot-key cap)
+    // while the collision job above is still in flight
+    val nDocs = sigs.count()
     record("signatures", sigs)
+    collisionF.foreach { f =>
+      val bad = scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf)
+      require(bad == 0,
+        s"xxhash64(url) record-id collision ($bad colliding ids); " +
+          "rerun with DedupConfig(exactIds = true)")
+    }
 
     // 3. candidate pairs. The SimHash prefilter runs INSIDE the blocking
     // self-join (key rows carry the 8-byte fingerprint) — pairs beyond
@@ -160,7 +173,6 @@ object Pipeline {
     val inJoinPrefilter = cfg.useSimHash && cfg.scoreMaxHamming < 64
     var hotDropped = -1L
     val pairs = stage("pairs") {
-      val nDocs = sigs.count()
       val keys = Blocking.blockKeys(sigs, cfg, idCol = "nid",
         carryFp = inJoinPrefilter)
       // distinct deferred to post-prefilter in the scoring stage

@@ -183,10 +183,20 @@ object TextHash {
   }
 
   /** Word tokens by the reference's `[\w']+` regex (`predicates.py:24`) —
-    * (?U) for Python's unicode-aware \w (see Predicates docs). */
-  def wordTokens(text: String): Array[String] =
-    if (text == null) Array.empty
-    else "(?U)[\\w']+".r.findAllIn(text).toArray
+    * UNICODE_CHARACTER_CLASS == the (?U) flag, for Python's unicode-aware
+    * \w (see Predicates docs). Pattern compiled once (r6: the previous
+    * `"...".r.findAllIn` built a fresh Regex — a Pattern.compile — plus a
+    * boxing iterator on EVERY call, on the per-document simhash hot path). */
+  private val WordPattern = java.util.regex.Pattern.compile("[\\w']+",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  def wordTokens(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    val m = WordPattern.matcher(text)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) buf += m.group()
+    buf.toArray
+  }
 
   /** MinHash coefficient pairs (a_i odd, b_i) derived from the seed via
     * SplitMix64 — deterministic, no java.util.Random. */
@@ -276,7 +286,9 @@ object TextHash {
       val h = hashString(tokens(t), seed)
       var i = 0
       while (i < 64) {
-        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        // branchless ±1: bit set -> +1, clear -> -1 (same sums as the
+        // if/else form, minus 64 unpredictable branches per token)
+        counts(i) += ((((h >>> i) & 1L) << 1) - 1L).toInt
         i += 1
       }
       t += 1
