@@ -32,6 +32,7 @@ object BenchExtra {
         case "--only" => only = Some(args(i + 1).split(",").toSet); i += 2
         case "--stages" => stages = true; i += 1
         case "--probe" => i += 1
+        case "--kernels" => i += 1
         case other => sys.error(s"unknown arg $other")
       }
     }
@@ -79,6 +80,56 @@ object BenchExtra {
             java.nio.file.Paths.get(s"$dir/$name.txt"), plan.getBytes("UTF-8"))
         }
       }
+    }
+
+    // single-threaded kernel microbench over real corpus texts: isolates
+    // per-document CPU from host weather and Spark overheads (guide §1:
+    // per-task work is optimized only after the job shape is right — this
+    // mode tells us WHICH kernel is the per-task cost)
+    if (args.contains("--kernels")) {
+      val cfg = graft.dedup.DedupConfig()
+      import org.apache.spark.sql.functions._
+      val spark2 = spark
+      import spark2.implicits._
+      val texts = graft.data.WebText.benchCorpus(spark, sfDir)
+        .select($"text").limit(50000).as[String].collect()
+      println(s"KERNELS corpus n=${texts.length} " +
+        s"avg_len=${texts.map(_.length.toLong).sum / texts.length}")
+      def bench(name: String, reps: Int)(f: String => Any): Unit = {
+        var sink = 0L
+        (1 to reps).foreach { _ => // warmup + steady: report the last rep
+          val t0 = System.nanoTime()
+          var i = 0
+          while (i < texts.length) {
+            val r = f(texts(i))
+            sink ^= (if (r == null) 0L else r.hashCode().toLong)
+            i += 1
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"KERNEL $name%-16s ${dt}%.3f s (${dt * 1e9 / texts.length}%.0f ns/doc) sink=${sink % 7}")
+        }
+      }
+      val norm = texts.map(graft.texthash.TextHash.normalizeText)
+      val shingles = norm.map(t => graft.texthash.TextHash.shingleHashes(t, cfg.shingleK, cfg.seed))
+      bench("normalize", 3)(t => graft.texthash.TextHash.normalizeText(t))
+      bench("shingles", 3)(t => graft.texthash.TextHash.shingleHashes(
+        graft.texthash.TextHash.normalizeText(t), cfg.shingleK, cfg.seed))
+      locally {
+        (1 to 3).foreach { _ =>
+          val t0 = System.nanoTime(); var i = 0; var sink = 0L
+          while (i < shingles.length) {
+            sink ^= graft.texthash.TextHash.minhashSignature(shingles(i), cfg.numHashes, cfg.seed).length
+            i += 1
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"KERNEL minhash128     ${dt}%.3f s (${dt * 1e9 / shingles.length}%.0f ns/doc) sink=${sink % 7}")
+        }
+      }
+      bench("simhash", 3)(t => graft.texthash.TextHash.simhashText(
+        graft.texthash.TextHash.normalizeText(t), cfg.seed))
+      bench("suffix_keys", 3)(t => graft.texthash.TextHash.suffixKeys(
+        graft.texthash.TextHash.normalizeText(t), cfg.suffixWidth, cfg.suffixEvery, cfg.seed))
+      spark.stop(); return
     }
 
     // deep probe of the pairs/scored internals: row counts + sub-timings,

@@ -73,8 +73,14 @@ object Blocking {
     import spark.implicits._
     val extra = if (carryFp) Seq(col(fpCol).as("fp")) else Nil
 
-    val minhashKeys = sigs
-      .select(Seq(explode(gf.band_keys($"sig", cfg.bands)).as("k"), col(idCol)) ++ extra: _*)
+    // When the caller pre-folded the signature into band keys (`bkeys`,
+    // [[Pipeline]] does this before its cache so 16 longs are stored and
+    // re-read instead of the 128-long signature), explode them directly;
+    // otherwise fold here. Key values identical either way.
+    val minhashKeys = (if (sigs.columns.contains("bkeys"))
+      sigs.select(Seq(explode($"bkeys").as("k"), col(idCol)) ++ extra: _*)
+    else
+      sigs.select(Seq(explode(gf.band_keys($"sig", cfg.bands)).as("k"), col(idCol)) ++ extra: _*))
       .select(Seq(tagged($"k", TagMinhash).as("key"), col(idCol)) ++ extra.map(_ => col("fp")): _*)
 
     val parts = Seq(minhashKeys) ++

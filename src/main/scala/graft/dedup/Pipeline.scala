@@ -146,10 +146,16 @@ object Pipeline {
           .filter($"u1" =!= $"u2").count()
       }(scala.concurrent.ExecutionContext.global))
 
-    // 2. signatures (persisted: feeds block keys, doc count and scoring)
+    // 2. signatures (persisted: feeds block keys, doc count and scoring).
+    // The 128-long minhash signature is folded into its 16 band keys BEFORE
+    // the cache (r6, guide §2.3 narrower types): nothing downstream reads
+    // `sig` except the band fold, which the blocking stage would otherwise
+    // run twice (counts pass + join pass) over a cached column 8x wider.
     val sigs = stage("signatures") {
       Blocking.signatures(normalized.filter($"text".isNotNull)
         .select($"nid", $"text"), cfg, idCol = "nid")
+        .withColumn("bkeys", graft.expr.functions.band_keys($"sig", cfg.bands))
+        .drop("sig")
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materializes the signature cache (the doc count feeds the hot-key cap)
     // while the collision job above is still in flight

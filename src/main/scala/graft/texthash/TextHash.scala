@@ -224,14 +224,37 @@ object TextHash {
     if (shingles == null || shingles.isEmpty) return Array.emptyLongArray
     val (a, b) = coeffCache(numHashes, seed)
     val sig = new Array[Long](numHashes)
+    val n = shingles.length
+    // 4 hash functions per shingle pass (r6): the min update is a data
+    // dependency chain, so a single chain caps ILP at ~1 compare/cycle;
+    // four independent chains sharing each shingle load run ~2x faster
+    // (microbenched 21 -> 9 us/doc at the 128-hash default). Identical
+    // per-(i, shingle) arithmetic — bit-equal signatures.
     var i = 0
+    while (i + 4 <= numHashes) {
+      var m0 = Long.MaxValue; var m1 = Long.MaxValue
+      var m2 = Long.MaxValue; var m3 = Long.MaxValue
+      val a0 = a(i); val b0 = b(i); val a1 = a(i + 1); val b1 = b(i + 1)
+      val a2 = a(i + 2); val b2 = b(i + 2); val a3 = a(i + 3); val b3 = b(i + 3)
+      var j = 0
+      while (j < n) {
+        // zero-extend: the int IS the 32-bit-masked hash, so the signature
+        // values are identical to the pre-int32 (masked long) representation
+        val s = shingles(j) & ShingleMask
+        val v0 = a0 * s + b0; if (v0 < m0) m0 = v0
+        val v1 = a1 * s + b1; if (v1 < m1) m1 = v1
+        val v2 = a2 * s + b2; if (v2 < m2) m2 = v2
+        val v3 = a3 * s + b3; if (v3 < m3) m3 = v3
+        j += 1
+      }
+      sig(i) = m0; sig(i + 1) = m1; sig(i + 2) = m2; sig(i + 3) = m3
+      i += 4
+    }
     while (i < numHashes) {
       var m = Long.MaxValue
       val ai = a(i); val bi = b(i)
       var j = 0
-      while (j < shingles.length) {
-        // zero-extend: the int IS the 32-bit-masked hash, so the signature
-        // values are identical to the pre-int32 (masked long) representation
+      while (j < n) {
         val v = ai * (shingles(j) & ShingleMask) + bi
         if (v < m) m = v
         j += 1
@@ -299,9 +322,37 @@ object TextHash {
     res
   }
 
-  /** SimHash of the normalized text's word tokens. */
-  def simhashText(text: String, seed: Long): Long =
-    simhash64(wordTokens(text), seed)
+  /** SimHash of the normalized text's word tokens. ASCII fast path (r6):
+    * for ASCII text, token char offsets equal byte offsets, so each token's
+    * xxhash64 is computed straight from the text's UTF-8 byte array at the
+    * matcher's (start, end) — no per-token substring/UTF8String/byte-copy
+    * allocations (3 per token before). Non-ASCII text takes the original
+    * tokenize-then-hash path. Hash inputs are the same UTF-8 bytes either
+    * way — bit-identical fingerprints. */
+  def simhashText(text: String, seed: Long): Long = {
+    if (text == null) return 0L
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.length != text.length) return simhash64(wordTokens(text), seed)
+    val m = WordPattern.matcher(text)
+    val counts = new Array[Int](64)
+    var any = false
+    while (m.find()) {
+      any = true
+      val s = m.start()
+      val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + s,
+        m.end() - s, seed)
+      var i = 0
+      while (i < 64) {
+        counts(i) += ((((h >>> i) & 1L) << 1) - 1L).toInt
+        i += 1
+      }
+    }
+    if (!any) return 0L
+    var res = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) res |= (1L << i); i += 1 }
+    res
+  }
 
   /** Hamming distance between two 64-bit fingerprints. */
   @inline def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
