@@ -58,6 +58,26 @@ object PlanDump {
       java.nio.file.Paths.get(s"$outDir/dedup_pipeline_scored.txt"),
       scored.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+    // pipeline pairs stage in both signature-cache shapes: `sig` carried
+    // into blockKeys (pre-r6 fold-twice shape) vs the pre-folded `bkeys`
+    // column Pipeline now caches (fold-once; same key values)
+    Seq(
+      "dedup_pipeline_pairs_sigcache" -> sigs,
+      "dedup_pipeline_pairs_bkeyscache" ->
+        sigs.withColumn("bkeys", graft.expr.functions.band_keys($"sig", cfg.bands)).drop("sig")
+    ).foreach { case (name, sigTab0) =>
+      // persisted like Pipeline's signature cache, so the plan shows what a
+      // consumer reads back (the cached columns), not a re-inlined subtree
+      val sigTab = sigTab0.persist()
+      val k = graft.dedup.Blocking.blockKeys(sigTab, cfg, idCol = "nid", carryFp = true)
+      val p = graft.dedup.Blocking.candidatePairs(k, 210249L, cfg,
+        idCol = "nid", dedup = false, maxHamming = cfg.scoreMaxHamming).pairs
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/$name.txt"),
+        p.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+      sigTab.unpersist()
+    }
     // cluster labeling stage (completeAndLabel) over a stand-in clustered set
     val clustered = spark.createDataset(Seq(
       graft.dedup.ClusterStage.ClusterRow(1L, 1L, 0.9),
