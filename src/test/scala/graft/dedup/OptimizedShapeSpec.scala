@@ -97,6 +97,23 @@ class OptimizedShapeSpec extends AnyFunSuite {
     sigs.unpersist()
   }
 
+  test("blockKeys over pre-folded bkeys == blockKeys over sig (key rows identical)") {
+    val cfg = DedupConfig()
+    val pages = WebText.synthetic(spark, 250).toDF()
+    val sigs = Blocking.signatures(
+      pages.select($"url", xxhash64($"url").as("nid"), gf.normalize_text($"text").as("text"))
+        .filter($"text".isNotNull).select($"nid", $"text"), cfg, idCol = "nid")
+      .cache()
+    val folded = sigs.withColumn("bkeys", gf.band_keys($"sig", cfg.bands)).drop("sig")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"key", $"nid", $"fp").as[(Long, Long, Long)].collect().sorted.toSeq
+    val viaSig = canon(Blocking.blockKeys(sigs, cfg, idCol = "nid", carryFp = true))
+    val viaBkeys = canon(Blocking.blockKeys(folded, cfg, idCol = "nid", carryFp = true))
+    assert(viaSig == viaBkeys)
+    assert(viaSig.nonEmpty)
+    sigs.unpersist()
+  }
+
   // ------------------------------------------------- cluster tail equivalence
 
   test("completeAndLabel == addSingletons + toUrls (row-for-row)") {

@@ -127,4 +127,58 @@ class TextHashSpec extends AnyFunSuite {
       assert(s.length < 3 || j == 1.0)
     }
   }
+
+  test("minhash 4-way unrolled loop == scalar reference (r6 internals)") {
+    // the straight-line single-chain loop the unrolled kernel replaced
+    def scalarRef(shingles: Array[Int], numHashes: Int, seed: Long): Array[Long] = {
+      if (shingles.isEmpty) return Array.emptyLongArray
+      val (a, b) = minhashCoeffs(numHashes, seed)
+      val sig = new Array[Long](numHashes)
+      var i = 0
+      while (i < numHashes) {
+        var m = Long.MaxValue
+        var j = 0
+        while (j < shingles.length) {
+          val v = a(i) * (shingles(j) & ShingleMask) + b(i)
+          if (v < m) m = v
+          j += 1
+        }
+        sig(i) = m
+        i += 1
+      }
+      sig
+    }
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 2, 3, 4, 5, 7, 16, 128); rep <- 1 to 5) {
+      val sh = Array.fill(1 + rnd.nextInt(40))(rnd.nextInt())
+        .distinct.sorted
+      val got = minhashSignature(sh, n, 42L)
+      val want = scalarRef(sh, n, 42L)
+      assert(got.sameElements(want), s"numHashes=$n rep=$rep")
+    }
+    assert(minhashSignature(Array.emptyIntArray, 5, 42L).isEmpty)
+  }
+
+  test("simhashText ASCII fast path == tokenize-then-hash reference (r6 internals)") {
+    // reference path: the original composition, still live for non-ASCII
+    def ref(t: String): Long = simhash64(wordTokens(t), 42L)
+    val cases = Seq(
+      "plain ascii words only",
+      "with'apostrophes and_underscores plus 123 numbers",
+      "  leading trailing   and   runs  ",
+      "punct!!! only??? ... ,,,",
+      "", "x",
+      "café résumé non-ascii tokens", // fallback path
+      "mixed ascii café and more",
+      "emoji 😀 between words",
+      "nbsp separated words")
+    cases.foreach { t =>
+      assert(simhashText(t, 42L) == ref(t), s"text='$t'")
+    }
+    assert(simhashText(null, 42L) == 0L)
+    // pseudo-random ASCII + occasionally unicode-contaminated strings
+    pseudoStrings(200, 99L).foreach { s =>
+      assert(simhashText(s, 42L) == ref(s), s"fuzz '$s'")
+    }
+  }
 }
