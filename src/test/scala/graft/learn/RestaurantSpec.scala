@@ -142,4 +142,24 @@ class RestaurantSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(p1 === p2)
   }
+
+  test("pair-id packing guards fail loudly off-fixture (r5 verdict #3)") {
+    import spark.implicits._
+    def fake(n: Long, ridBase: Long = 0L) = spark.range(n)
+      .select(($"id" + ridBase).as("rid"), ($"id" % 7).as("unique_id"),
+        lit("n").as("name"), lit("a").as("address"),
+        lit("c").as("cuisine"), lit("t").as("city"))
+    val eDedupe = intercept[IllegalArgumentException] {
+      Restaurant.labeledPairs(fake(40000L))
+    }
+    assert(eDedupe.getMessage.contains("32767"))
+    val eLink = intercept[IllegalArgumentException] {
+      Restaurant.linkLabeledPairs(fake(2000L), fake(10L, Restaurant.LinkRidOffset))
+    }
+    assert(eLink.getMessage.contains("n1 <="))
+    // fixture-sized inputs still pass the guards (existing suites cover the
+    // full outputs; this pins only that the requires admit the fixture range)
+    Restaurant.linkLabeledPairs(
+      fake(112L), fake(752L, Restaurant.LinkRidOffset), trainingSize = 5)
+  }
 }
