@@ -33,6 +33,7 @@ object BenchExtra {
         case "--stages" => stages = true; i += 1
         case "--probe" => i += 1
         case "--kernels" => i += 1
+        case "--reusecheck" => i += 1
         case other => sys.error(s"unknown arg $other")
       }
     }
@@ -80,6 +81,72 @@ object BenchExtra {
             java.nio.file.Paths.get(s"$dir/$name.txt"), plan.getBytes("UTF-8"))
         }
       }
+    }
+
+    // exchange-reuse diagnosis: does AQE materialize a self-join's two
+    // identical exchanges once or twice, with and without a cached source?
+    if (args.contains("--reusecheck")) {
+      import org.apache.spark.sql.functions._
+      def stages(df0: org.apache.spark.sql.DataFrame, label: String): Unit = {
+        // aggregate to a scalar so collect() drives THIS QueryExecution and
+        // finalizes its adaptive plan (a noop write would wrap a new one)
+        val df = df0.agg(sum(col("a") + col("b")))
+        df.collect()
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val shuffles = "ShuffleQueryStage \\((\\d+)\\)".r
+          .findAllMatchIn(plan).map(_.group(1)).toSet
+        println(s"REUSECHECK $label distinct_shuffle_stages=${shuffles.size} ids=${shuffles.toSeq.sorted}")
+        sys.env.get("REUSECHECK_PLANS").foreach { dir =>
+          new java.io.File(dir).mkdirs()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/$label.txt"), plan.getBytes("UTF-8"))
+        }
+      }
+      val base = spark.range(0, 500000)
+        .select((col("id") % 9973).as("key"), col("id").as("v"))
+      // plain source
+      val kept1 = base.filter(col("v") % 17 =!= 3)
+      stages(kept1.as("x").join(kept1.as("y").hint("shuffle_hash"),
+        col("x.key") === col("y.key") && col("x.v") < col("y.v"))
+        .select(col("x.v").as("a"), col("y.v").as("b")), "plain")
+      // cached source (the pipeline's shape: kept derives from a cache)
+      val cached = base.persist()
+      cached.count()
+      val kept2 = cached.filter(col("v") % 17 =!= 3)
+      stages(kept2.as("x").join(kept2.as("y").hint("shuffle_hash"),
+        col("x.key") === col("y.key") && col("x.v") < col("y.v"))
+        .select(col("x.v").as("a"), col("y.v").as("b")), "cached")
+      // cached + broadcast anti-join (full pipeline kept shape)
+      val hot = cached.groupBy(col("key")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1000).select(col("key"))
+      val kept3 = cached.join(broadcast(hot), Seq("key"), "left_anti")
+      stages(kept3.as("x").join(kept3.as("y").hint("shuffle_hash"),
+        col("x.key") === col("y.key") && col("x.v") < col("y.v"))
+        .select(col("x.v").as("a"), col("y.v").as("b")), "cached+anti")
+      // candidate fix: cache the join input repartitioned by the join key —
+      // both sides then read the (once-materialized) cache; if
+      // InMemoryTableScan preserves the repartition's outputPartitioning,
+      // the join plans with NO further exchange on either side
+      val keptRep = kept1.repartition(col("key")).persist()
+      keptRep.count()
+      stages(keptRep.as("x").join(keptRep.as("y").hint("shuffle_hash"),
+        col("x.key") === col("y.key") && col("x.v") < col("y.v"))
+        .select(col("x.v").as("a"), col("y.v").as("b")), "cachedRep")
+      keptRep.unpersist()
+      // same self-join with AQE off: does the static ReuseExchange rule fire?
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val dfOff = kept1.as("x").join(kept1.as("y").hint("shuffle_hash"),
+        col("x.key") === col("y.key") && col("x.v") < col("y.v"))
+        .select(col("x.v").as("a"), col("y.v").as("b"))
+        .agg(sum(col("a") + col("b")))
+      dfOff.collect()
+      val planOff = dfOff.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"REUSECHECK aqe-off reused=${"ReusedExchange".r.findAllIn(planOff).size} " +
+        s"exchanges=${"Exchange".r.findAllIn(planOff).size}")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.stop(); return
     }
 
     // single-threaded kernel microbench over real corpus texts: isolates

@@ -58,6 +58,37 @@ object PlanDump {
       java.nio.file.Paths.get(s"$outDir/dedup_pipeline_scored.txt"),
       scored.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+    // scored stage with the signature table persisted as Pipeline persists
+    // it — shows whether the two verify-join shingle exchanges share one
+    // shuffle (ReusedExchange / repeated node id) when reading the cache
+    locally {
+      // mirrors Pipeline's signature cache: band keys pre-folded, hash-
+      // partitioned on the record id, persisted
+      val sigsC = sigs
+        .withColumn("bkeys", graft.expr.functions.band_keys($"sig", cfg.bands)).drop("sig")
+        .repartition($"nid").persist()
+      val keysC = graft.dedup.Blocking.blockKeys(sigsC, cfg, idCol = "nid", carryFp = true)
+      val pairsC = graft.dedup.Blocking.candidatePairs(keysC, 210249L, cfg,
+        idCol = "nid", dedup = false, maxHamming = cfg.scoreMaxHamming).pairs
+      val scoredC = graft.dedup.Scoring.scorePairs(pairsC, sigsC, idCol = "nid",
+        minScore = cfg.minScore, maxHamming = 64, dedupePairs = true)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/dedup_pipeline_scored_cached.txt"),
+        scoredC.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+      // execute, then dump the FINAL AQE plan: only here is exchange/stage
+      // reuse visible (the pre-execution plan shows separate Exchange
+      // instances that AQE may or may not dedupe at runtime). collect()
+      // drives THIS QueryExecution (a noop write would wrap a new one and
+      // leave scoredC's adaptive plan unfinalized); the scored edge list is
+      // ~159k (a, b, score) rows — driver-safe here.
+      scoredC.collect()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/dedup_pipeline_scored_executed.txt"),
+        scoredC.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+      sigsC.unpersist()
+    }
     // pipeline pairs stage in both signature-cache shapes: `sig` carried
     // into blockKeys (pre-r6 fold-twice shape) vs the pre-folded `bkeys`
     // column Pipeline now caches (fold-once; same key values)

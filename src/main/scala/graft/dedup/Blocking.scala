@@ -129,11 +129,18 @@ object Blocking {
     * them is a separate driver job over the counts table, and the flagship
     * bench path never reads them (Pipeline records metrics only when a
     * workDir is set) — eager stats taxed every run for a metric nobody
-    * consumed. First access runs one small agg over the cached counts. */
-  final class BlockingResult(val pairs: DataFrame, stats: () => (Long, Long)) {
+    * consumed. First access runs one small agg over the cached counts.
+    *
+    * `cleanup()` releases the caches the pair generation holds (the counts
+    * table and the key-partitioned kept stream); call it once the pair
+    * stream is materialized downstream ([[Pipeline]] does, after the
+    * connected-components stage). Safe to skip for one-shot sessions. */
+  final class BlockingResult(val pairs: DataFrame, stats: () => (Long, Long),
+                             cached: Seq[DataFrame] = Nil) {
     private lazy val s = stats()
     lazy val hotKeysDropped: Long = s._1
     lazy val totalKeys: Long = s._2
+    def cleanup(): Unit = cached.foreach(_.unpersist(blocking = false))
   }
 
   /** Effective hot-key cap: the canopy stop-word rule max(1000, 5%·N)
@@ -183,7 +190,19 @@ object Blocking {
 
     // hot keys dropped BEFORE any pair generation (stop-word rule):
     // a mega-bucket never materializes anywhere
-    val kept = keys.join(broadcast(hot), Seq("key"), "left_anti")
+    val kept0 = keys.join(broadcast(hot), Seq("key"), "left_anti")
+    // ONE key-partitioned, cached copy feeds BOTH self-join sides (r6):
+    // AQE in this Spark version does not dedupe a self-join's two
+    // identical exchanges (static planning's ReuseExchange does — measured
+    // in BenchExtra --reusecheck, and the executed pipeline plan showed the
+    // kept exchange materialized twice at 315 MiB each), so the join paid
+    // the exchange AND the whole kept computation (key explode + anti-join)
+    // twice. The cache fills once — its fill holds the single exchange —
+    // and both sides read it with the partitioning preserved, so the join
+    // plans with no further exchange. Skew-safe, unlike repartitioning the
+    // RAW key stream: hot keys are already gone here, so per-key
+    // multiplicity is bounded by the cap.
+    val kept = kept0.repartition($"key").persist(StorageLevel.MEMORY_AND_DISK)
 
     // Within-key pair generation as an equi-self-join with `a < b` — stays
     // in whole-stage codegen end to end. (Round 1 used groupBy +
@@ -211,7 +230,8 @@ object Blocking {
 
     // `dedup = false` defers the global distinct to after the (cheap,
     // broadcast) SimHash prefilter in Scoring — dedup-ing 10-100x fewer rows
-    new BlockingResult(if (dedup) pairs.distinct() else pairs, () => stats())
+    new BlockingResult(if (dedup) pairs.distinct() else pairs, () => stats(),
+      cached = Seq(counts, kept))
   }
 
   /** Full blocking stage: pages -> candidate pairs + signature table. */

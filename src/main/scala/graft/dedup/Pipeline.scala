@@ -151,12 +151,20 @@ object Pipeline {
     // the cache (r6, guide §2.3 narrower types): nothing downstream reads
     // `sig` except the band fold, which the blocking stage would otherwise
     // run twice (counts pass + join pass) over a cached column 8x wider.
+    // Cached hash-partitioned on the record id (r6): the scoring stage joins
+    // the shingle projection of this cache on each pair side, and AQE does
+    // not dedupe those two identical exchanges (see Blocking.candidatePairs)
+    // — partitioning the cache itself lets BOTH verify joins read it with
+    // the partitioning preserved and plan no shingle exchange at all (the
+    // one exchange moves into the cache fill, overlapped with the collision
+    // job above). Partition sizes are uniform (one row per record id).
     val sigs = stage("signatures") {
       Blocking.signatures(normalized.filter($"text".isNotNull)
         .select($"nid", $"text"), cfg, idCol = "nid")
         .withColumn("bkeys", graft.expr.functions.band_keys($"sig", cfg.bands))
         .drop("sig")
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }.repartition($"nid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materializes the signature cache (the doc count feeds the hot-key cap)
     // while the collision job above is still in flight
     val nDocs = sigs.count()
@@ -178,6 +186,7 @@ object Pipeline {
     // commutes with the deferred distinct.
     val inJoinPrefilter = cfg.useSimHash && cfg.scoreMaxHamming < 64
     var hotDropped = -1L
+    var blocking: Blocking.BlockingResult = null
     val pairs = stage("pairs") {
       val keys = Blocking.blockKeys(sigs, cfg, idCol = "nid",
         carryFp = inJoinPrefilter)
@@ -186,6 +195,7 @@ object Pipeline {
         maxHamming = if (inJoinPrefilter) cfg.scoreMaxHamming else 64)
       // stats are lazy — only pay their driver job when metrics are recorded
       if (workDir.isDefined) hotDropped = res.hotKeysDropped
+      blocking = res
       res.pairs
     }
     record("pairs", pairs, hotDropped)
@@ -205,6 +215,11 @@ object Pipeline {
       ConnectedComponents.withRefilter(scored, cfg.maxComponents)
     }
     record("components", labeled)
+    // the scored edges are materialized (withRefilter checkpoints them, or
+    // the workDir path wrote the stage tables) — release the blocking
+    // stage's caches (counts + the key-partitioned kept stream); null when
+    // a resume skipped the pairs stage
+    if (blocking != null) blocking.cleanup()
 
     // 6. hierarchical clusters + singletons (compact ids), then map back to
     // urls with the lexicographically-smallest-member cluster id
