@@ -114,6 +114,24 @@ class OptimizedShapeSpec extends AnyFunSuite {
     sigs.unpersist()
   }
 
+  test("candidatePairs caches are released by cleanup()") {
+    val cfg = DedupConfig()
+    val pages = WebText.synthetic(spark, 200).toDF()
+    val sigs = Blocking.signatures(
+      pages.select($"url", xxhash64($"url").as("nid"), gf.normalize_text($"text").as("text"))
+        .filter($"text".isNotNull).select($"nid", $"text"), cfg, idCol = "nid").cache()
+    val n = sigs.count() // materialize the sig cache before sampling the baseline
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val res = Blocking.candidatePairs(
+      Blocking.blockKeys(sigs, cfg, idCol = "nid", carryFp = true),
+      n, cfg, idCol = "nid", dedup = false, maxHamming = cfg.scoreMaxHamming)
+    res.pairs.count() // materializes the counts + kept caches
+    assert(spark.sparkContext.getPersistentRDDs.size >= before + 2)
+    res.cleanup()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+    sigs.unpersist()
+  }
+
   // ------------------------------------------------- cluster tail equivalence
 
   test("completeAndLabel == addSingletons + toUrls (row-for-row)") {
