@@ -125,8 +125,16 @@ object Scoring {
           .select(col("a"), col("b"))
       }
     // pair-uniqueness invariant (api.py:224-227) established here when the
-    // blocking stage deferred it
-    val surviving = if (dedupePairs) prefiltered.distinct() else prefiltered
+    // blocking stage deferred it. Partitioned by `a` ALONE (r6): hash
+    // clustering on a subset of the distinct keys is sufficient for the
+    // (a, b) dedup AND is exactly the distribution the first verify join
+    // below needs — one exchange serves both where distinct()'s (a, b)
+    // exchange forced the join to re-shuffle its 10x-smaller output again.
+    // Skew-safe: one doc's pair fan-out is bounded by keys/doc x the
+    // hot-key cap, so no single `a` partition can blow up.
+    val surviving =
+      if (dedupePairs) prefiltered.repartition(col("a")).distinct()
+      else prefiltered
 
     // shuffle_hash: the shingle side carries ~KB array payloads per row —
     // hash-building it avoids sort-merge's full sort of the array columns
