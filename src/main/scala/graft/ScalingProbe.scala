@@ -46,8 +46,14 @@ object ScalingProbe {
       graft.expr.functions.normalize_text($"text").as("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("normalize")(normalized.count())
+    // mirrors Pipeline's signature cache: band keys pre-folded, hash-
+    // partitioned on the record id (so the probe's stage split matches the
+    // production shape)
     val sigs = graft.dedup.Blocking.signatures(
       normalized.filter($"text".isNotNull).select($"nid", $"text"), cfg, idCol = "nid")
+      .withColumn("bkeys", graft.expr.functions.band_keys($"sig", cfg.bands))
+      .drop("sig")
+      .repartition($"nid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = time("signatures")(sigs.count())
     val keys = graft.dedup.Blocking.blockKeys(sigs, cfg, idCol = "nid", carryFp = true)
